@@ -1,0 +1,20 @@
+"""dad3dheads_tpu — a TPU-native (JAX/XLA/Pallas/pjit) monocular image ->
+3D head alignment framework with the capabilities of DAD-3DHeads.
+
+Layers (bottom-up):
+  assets      static data store (topology, embeddings, FLAME arrays)
+  core        FLAME decode, landmarks, projection, head-mesh facade
+  ops         Pallas TPU kernels + XLA reference paths (hot ops)
+  models      DAD-3DNet (ResNet/MobileNet + BiFPN + heads) in flax
+  data        dataset, bbox/crop, heatmap targets, host->device pipeline
+  losses      IoU / 3D vertices / reprojection / landmark losses, LossModule
+  metrics     NME, failure rate, soft IoU (collective-friendly)
+  train       optax optimizers/schedulers, pjit train step, checkpoints, loop
+  parallel    device mesh + sharding helpers
+  render      z-buffer rasterizer (XLA + native C++), lighting, PNCC
+  api         FaceMeshPredictor + demo processors/savers
+  cli         demo / train / visualize / benchmark entry points
+  benchmark_harness  DAD-3DHeads evaluation protocol (NME, Chamfer, Z_n, pose)
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,154 @@
+"""BiFPN (bidirectional feature pyramid) in flax/linen, NHWC.
+
+Behavioral spec: /root/reference/model_training/model/bifpn.py — lateral 1x1
+convs on C2/C3/C4, p6 = 3x3/2 conv on C4, p7 = conv-BN-ReLU 3x3/2 on p6, then
+``num_layers`` BiFPN blocks with learnable ReLU-normalized fusion weights
+(w1: (2, 4) top-down, w2: (3, 4) bottom-up) and depthwise-separable
+conv+BN+ReLU fusion nodes. Resizing between pyramid levels uses
+nearest-neighbor interpolation (torch F.interpolate default).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+BIFPN_BN_MOMENTUM = 0.0003  # torch momentum 0.9997 -> flax convention
+BIFPN_BN_EPS = 4e-5
+
+
+def _resize_nearest(x: jax.Array, hw) -> jax.Array:
+    """Nearest-neighbor resize matching torch F.interpolate(mode='nearest'):
+    src_idx = floor(dst_idx * src/dst)."""
+    B, H, W, C = x.shape
+    h, w = hw
+    if (H, W) == (h, w):
+        return x
+    rows = (jnp.arange(h) * (H / h)).astype(jnp.int32)
+    cols = (jnp.arange(w) * (W / w)).astype(jnp.int32)
+    return x[:, rows][:, :, cols]
+
+
+class DepthwiseSeparableConvBlock(nn.Module):
+    """Depthwise conv + pointwise conv + BN + ReLU (kernel 1x1 by default,
+    as in the reference's BiFPNDepthwiseConvBlock)."""
+
+    features: int
+    kernel: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.kernel // 2
+        x = nn.Conv(
+            x.shape[-1],
+            (self.kernel, self.kernel),
+            padding=[(pad, pad), (pad, pad)],
+            feature_group_count=x.shape[-1],
+            use_bias=False,
+            dtype=self.dtype,
+        )(x)
+        x = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BIFPN_BN_MOMENTUM,
+            epsilon=BIFPN_BN_EPS,
+            dtype=self.dtype,
+        )(x)
+        return nn.relu(x)
+
+
+class ConvBNBlock(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.kernel // 2
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(pad, pad), (pad, pad)],
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BIFPN_BN_MOMENTUM,
+            epsilon=BIFPN_BN_EPS,
+            dtype=self.dtype,
+        )(x)
+        return nn.relu(x)
+
+
+class BiFPNBlock(nn.Module):
+    feature_size: int
+    epsilon: float = 1e-4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[jax.Array], train: bool = False) -> List[jax.Array]:
+        p3_x, p4_x, p5_x, p6_x, p7_x = inputs
+
+        w1 = self.param("w1", nn.initializers.ones, (2, 4))
+        w2 = self.param("w2", nn.initializers.ones, (3, 4))
+        w1 = nn.relu(w1)
+        w11 = w1 / jnp.sum(w1, axis=0) + self.epsilon
+        w2 = nn.relu(w2)
+        w22 = w2 / jnp.sum(w2, axis=0) + self.epsilon
+
+        dsc = lambda name: DepthwiseSeparableConvBlock(self.feature_size, dtype=self.dtype, name=name)
+
+        # top-down
+        p7_td = p7_x
+        p6_td = dsc("p6_td")(w11[0, 0] * p6_x + w11[1, 0] * _resize_nearest(p7_td, p6_x.shape[1:3]), train)
+        p5_td = dsc("p5_td")(w11[0, 1] * p5_x + w11[1, 1] * _resize_nearest(p6_td, p5_x.shape[1:3]), train)
+        p4_td = dsc("p4_td")(w11[0, 2] * p4_x + w11[1, 2] * _resize_nearest(p5_td, p4_x.shape[1:3]), train)
+        p3_td = dsc("p3_td")(w11[0, 3] * p3_x + w11[1, 3] * _resize_nearest(p4_td, p3_x.shape[1:3]), train)
+
+        # bottom-up
+        p3_out = p3_td
+        p4_out = dsc("p4_out")(
+            w22[0, 0] * p4_x + w22[1, 0] * p4_td + w22[2, 0] * _resize_nearest(p3_out, p4_x.shape[1:3]), train
+        )
+        p5_out = dsc("p5_out")(
+            w22[0, 1] * p5_x + w22[1, 1] * p5_td + w22[2, 1] * _resize_nearest(p4_out, p5_x.shape[1:3]), train
+        )
+        p6_out = dsc("p6_out")(
+            w22[0, 2] * p6_x + w22[1, 2] * p6_td + w22[2, 2] * _resize_nearest(p5_out, p6_x.shape[1:3]), train
+        )
+        p7_out = dsc("p7_out")(
+            w22[0, 3] * p7_x + w22[1, 3] * p7_td + w22[2, 3] * _resize_nearest(p6_out, p7_x.shape[1:3]), train
+        )
+        return [p3_out, p4_out, p5_out, p6_out, p7_out]
+
+
+class BiFPN(nn.Module):
+    """sizes: input channels of [C2, C3, C4] (shallow -> deep)."""
+
+    sizes: Sequence[int]
+    feature_size: int = 128
+    num_layers: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[jax.Array], train: bool = False) -> List[jax.Array]:
+        c2, c3, c4 = inputs
+        f = self.feature_size
+        p3_x = nn.Conv(f, (1, 1), dtype=self.dtype, name="p3")(c2)
+        p4_x = nn.Conv(f, (1, 1), dtype=self.dtype, name="p4")(c3)
+        p5_x = nn.Conv(f, (1, 1), dtype=self.dtype, name="p5")(c4)
+        p6_x = nn.Conv(
+            f, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)], dtype=self.dtype, name="p6"
+        )(c4)
+        p7_x = ConvBNBlock(f, 3, 2, dtype=self.dtype, name="p7")(p6_x, train)
+
+        feats = [p3_x, p4_x, p5_x, p6_x, p7_x]
+        for i in range(self.num_layers):
+            feats = BiFPNBlock(f, dtype=self.dtype, name=f"block{i}")(feats, train)
+        return feats

@@ -1,0 +1,158 @@
+"""DAD-3DNet: staged encoder + BiFPN + heatmap head + fusion + 3DMM heads.
+
+Behavioral spec: /root/reference/model_training/model/flame_regression.py —
+  - stages 0-3 of the encoder run on the image;
+  - BiFPN consumes [stage1, stage2, stage3] outputs;
+  - a 3x3 conv on the highest-resolution pyramid level predicts the 68-channel
+    landmark heatmap (stride 4, zero-initialized bias);
+  - FusionLayer: bilinear (align_corners) resize + sigmoid of the heatmap,
+    concatenated with the stage-3 map and pyramid level 2, 1x1 conv, then
+    multiplied back into the stage-3 map;
+  - the final encoder stage runs on the fused map; three MLP heads (global
+    average pool -> 512 -> out) regress shape+expr+jaw (tanh * limit),
+    pose (rotation/translation/scale, linear), and 68 2D landmarks (ReLU);
+  - outputs are the dict {heatmap, 413-dim 3DMM, (B, 68, 2) landmarks}.
+
+Layout is NHWC throughout; the heatmap output is (B, H, W, 68).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..constants import (
+    OUTPUT_2D_LANDMARKS,
+    OUTPUT_3DMM_PARAMS,
+    OUTPUT_LANDMARKS_HEATMAP,
+)
+from .bifpn import BiFPN
+from .resnet import ENCODER_CHANNELS, ResNet50Stages
+
+
+def resize_bilinear_align_corners(x: jax.Array, hw) -> jax.Array:
+    """Bilinear resize with align_corners=True semantics (torch
+    F.interpolate(..., mode='bilinear', align_corners=True))."""
+    B, H, W, C = x.shape
+    h, w = hw
+    if (H, W) == (h, w):
+        return x
+
+    def grid(dst, src):
+        if dst == 1:
+            return jnp.zeros((1,), jnp.float32)
+        return jnp.arange(dst, dtype=jnp.float32) * ((src - 1) / (dst - 1))
+
+    ys, xs = grid(h, H), grid(w, W)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, H - 1)
+    y1 = jnp.clip(y0 + 1, 0, H - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 1)
+    x1 = jnp.clip(x0 + 1, 0, W - 1)
+    wy = (ys - y0.astype(jnp.float32))[None, :, None, None]
+    wx = (xs - x0.astype(jnp.float32))[None, None, :, None]
+
+    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
+    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+class ClassificationHead(nn.Module):
+    num_classes: int
+    linear_size: int = 512
+    dropout: float = 0.3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f = jnp.mean(x, axis=(1, 2))  # global average pool, NHWC
+        f = nn.Dense(self.linear_size, dtype=self.dtype)(f)
+        f = nn.relu(f)
+        f = nn.Dropout(self.dropout, deterministic=not train)(f)
+        return nn.Dense(self.num_classes, dtype=self.dtype)(f)
+
+
+class FusionLayer(nn.Module):
+    output_filters: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, heatmap, bifpn_map, train: bool = False):
+        hm = resize_bilinear_align_corners(heatmap, x.shape[1:3])
+        hm = nn.sigmoid(hm)
+        fmap = jnp.concatenate([x, hm, bifpn_map], axis=-1)
+        fmap = nn.Conv(self.output_filters, (1, 1), dtype=self.dtype)(fmap)
+        return fmap * x
+
+
+class DAD3DNet(nn.Module):
+    """The flagship image -> (heatmap, 3DMM, landmarks) network."""
+
+    backbone: str = "resnet50"
+    num_filters: int = 256
+    num_classes: int = 68
+    limit_value: float = 3.0
+    shape_output_size: int = 403  # shape 300 + expression 100 + jaw 3
+    pose_output_size: int = 10  # rotation 6 + translation 3 + scale 1
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        if self.backbone == "resnet50":
+            self.encoder = ResNet50Stages(dtype=self.dtype)
+        elif self.backbone == "mobilenet_w1":
+            from .mobilenet import MobileNetStages
+
+            self.encoder = MobileNetStages(dtype=self.dtype)
+        else:
+            raise KeyError(self.backbone)
+        ch = ENCODER_CHANNELS[self.backbone]
+        self.bifpn = BiFPN(
+            sizes=(ch["layer3"], ch["layer2"], ch["layer1"]),
+            feature_size=self.num_filters,
+            dtype=self.dtype,
+        )
+        self.head_conv = nn.Conv(
+            self.num_classes,
+            (3, 3),
+            padding=[(1, 1), (1, 1)],
+            dtype=self.dtype,
+            bias_init=nn.initializers.zeros,
+            name="heatmap_head",
+        )
+        self.fusion = FusionLayer(ch["layer1"], dtype=self.dtype)
+        self.shape_head = ClassificationHead(self.shape_output_size, dtype=self.dtype)
+        self.pose_head = ClassificationHead(self.pose_output_size, dtype=self.dtype)
+        self.landmarks_head = ClassificationHead(self.num_classes * 2, dtype=self.dtype)
+
+    def __call__(self, x: jax.Array, train: bool = False) -> Dict[str, jax.Array]:
+        feats = self.encoder.stages_backbone(x, train)  # stages 0..3
+        pyramid = self.bifpn(feats[1:], train)
+        heatmap = self.head_conv(pyramid[0])
+
+        fmap = self.fusion(feats[-1], heatmap, pyramid[2], train)
+        fmap = self.encoder.final_stage(fmap, train)
+
+        shape = jnp.tanh(self.shape_head(fmap, train)) * self.limit_value
+        pose = self.pose_head(fmap, train)
+        landmarks = nn.relu(self.landmarks_head(fmap, train))
+        B = landmarks.shape[0]
+        landmarks = landmarks.reshape(B, self.num_classes, 2)
+
+        return {
+            OUTPUT_LANDMARKS_HEATMAP: heatmap,
+            OUTPUT_3DMM_PARAMS: jnp.concatenate([shape, pose], axis=-1),
+            OUTPUT_2D_LANDMARKS: landmarks,
+        }
+
+
+def create_model(config: Optional[Dict[str, Any]] = None) -> DAD3DNet:
+    config = config or {}
+    return DAD3DNet(
+        backbone=config.get("backbone", "resnet50"),
+        num_filters=config.get("num_filters", 256),
+        num_classes=config.get("num_classes", 68),
+        limit_value=config.get("limit_value", 3.0),
+        dtype=config.get("dtype", jnp.float32),
+    )
