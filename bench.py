@@ -1,0 +1,116 @@
+"""End-to-end throughput benchmark on the real TPU chip.
+
+Measures the full inference path of the flagship model at batch 256:
+  image (256x256x3) -> DAD-3DNet forward -> 413-dim 3DMM -> FLAME decode
+  -> mesh vertices + reprojected vertices + 68 landmarks
+
+and reports images/sec/chip. ``vs_baseline`` is relative to the 5,000
+img/s/chip north star in BASELINE.json (the reference repo publishes no
+throughput numbers — BASELINE.md).
+
+Timing methodology: the remote-tunnel TPU attachment makes host-side
+synchronization unreliable (block_until_ready can return early and host
+fetches pay multi-second tunnel latency), so iterations run *on device*
+inside one jitted lax.fori_loop with a data dependency between iterations;
+per-iteration time is the difference between an N-iteration run and a
+1-iteration run, which cancels the constant dispatch/fetch overhead.
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BATCH = int(os.environ.get("BENCH_BATCH", 256))
+ITERS = int(os.environ.get("BENCH_ITERS", 20))
+NORTH_STAR = 5000.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from dad3dheads_tpu.constants import OUTPUT_3DMM_PARAMS
+    from dad3dheads_tpu.core.flame import FlameModel, FlameParams, flame_decode
+    from dad3dheads_tpu.core.landmarks import LandmarkEmbedding, get_68_landmarks
+    from dad3dheads_tpu.core.rotation import rot_mat_from_6dof
+    from dad3dheads_tpu.models import create_model
+
+    model = create_model({"backbone": "resnet50"})
+    x_init = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    variables = jax.jit(lambda r: model.init(r, x_init, train=False))(jax.random.PRNGKey(0))
+    flame = FlameModel.load()
+    embedding = LandmarkEmbedding.load()
+
+    def pipeline(variables, flame, embedding, images):
+        out = model.apply(variables, images, train=False)
+        mm = out[OUTPUT_3DMM_PARAMS]
+        params = FlameParams.from_3dmm(mm)
+        v0 = flame_decode(flame, params, zero_rot=True)
+        R = rot_mat_from_6dof(params.rotation)
+        v = jnp.einsum("bxy,bvy->bvx", R, v0, precision=jax.lax.Precision.HIGHEST)
+        scale = jnp.clip(params.scale[:, None] + 1.0, min=1e-8)
+        t = params.translation.at[..., 2].set(0.0)
+        proj = (v * scale + t[:, None] + 1.0) / 2.0 * 256.0
+        lms = get_68_landmarks(v, embedding)
+        return v, proj[..., :2], lms
+
+    def looped(n_iters):
+        @jax.jit
+        def run(variables, flame, embedding, seed):
+            images = jax.random.normal(seed, (BATCH, 256, 256, 3), jnp.float32)
+
+            def body(i, carry):
+                imgs, acc = carry
+                v, proj, lms = pipeline(variables, flame, embedding, imgs)
+                chk = jnp.mean(lms)
+                # data dependency between iterations so XLA cannot collapse
+                # the loop; the perturbation is below fp32 resolution
+                imgs = imgs + chk * 1e-30
+                return imgs, acc + chk
+
+            _, acc = jax.lax.fori_loop(0, n_iters, body, (images, jnp.zeros(())))
+            return acc
+
+        return run
+
+    run1 = looped(1)
+    runN = looped(1 + ITERS)
+
+    # warm both executables (compile + one timed-region exec each)
+    float(run1(variables, flame, embedding, jax.random.PRNGKey(1)))
+    float(runN(variables, flame, embedding, jax.random.PRNGKey(1)))
+
+    def timed(fn, reps=3):
+        best = float("inf")
+        for i in range(reps):
+            t0 = time.perf_counter()
+            float(fn(variables, flame, embedding, jax.random.PRNGKey(2 + i)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_1 = timed(run1)
+    t_n = timed(runN)
+    per_iter = max((t_n - t_1) / ITERS, 1e-9)
+
+    ips = BATCH / per_iter
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_image_to_mesh_throughput",
+                "value": round(ips, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(ips / NORTH_STAR, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

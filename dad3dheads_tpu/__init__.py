@@ -18,3 +18,13 @@ Layers (bottom-up):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("DAD3D_PLATFORM"):
+    # The environment's TPU plugin prepends itself to JAX_PLATFORMS, so that
+    # env var alone cannot force CPU; this knob can (e.g. DAD3D_PLATFORM=cpu).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["DAD3D_PLATFORM"])
+

@@ -1,0 +1,3 @@
+from .predictor import DEFAULT_CONFIG, FaceMeshPredictor, save_predictor_checkpoint
+
+__all__ = ["FaceMeshPredictor", "DEFAULT_CONFIG", "save_predictor_checkpoint"]

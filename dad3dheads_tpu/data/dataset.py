@@ -1,0 +1,291 @@
+"""FlameDataset: the DAD-3DHeads annotation format -> fixed-shape batches.
+
+Behavioral spec: /root/reference/model_training/data/flame_dataset.py —
+per item: read RGB, jitter+clamp the bbox (each side grows U(0.05, 0.15)),
+crop; load the GT mesh json (vertices + model_view_matrix -> homogeneous
+world vertices, projection_matrix); project the 68 barycentric landmarks (or
+a keypoint index subset) and all 5023 vertices to crop space with a y-flip;
+resize/pad/normalize; split targets; presence = in-crop test; heatmaps as
+uint8 Gaussians; landmarks normalized to [0, 1].
+
+TPU-first split of responsibilities:
+  - host workers (threads + this class): jpeg decode, crop, resize to the
+    static 256x256, keypoint projection — everything shape-dynamic;
+  - device (jitted): heatmap splatting is vectorized on device by default
+    (``encode_heatmap``), instead of the reference's per-keypoint numpy loop;
+    a host ``HeatmapCoder`` is provided for API parity / offline use.
+
+Failed samples are skipped and replaced by duplicating earlier items, like
+the reference's ``collate_skip_none`` (flame_dataset.py:38-44).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from ..constants import (
+    IMAGE_FILENAME_KEY,
+    INPUT_BBOX_KEY,
+    INPUT_IMAGE_KEY,
+    INPUT_SIZE_KEY,
+    SAMPLE_INDEX_KEY,
+    TARGET_2D_FULL_LANDMARKS,
+    TARGET_2D_LANDMARKS,
+    TARGET_2D_LANDMARKS_PRESENCE,
+    TARGET_3D_MODEL_VERTICES,
+    TARGET_LANDMARKS_HEATMAP,
+    TARGET_PROJECTION_MATRIX,
+    TARGET_3D_WORLD_VERTICES,
+)
+from .. import assets
+from ..ops.preprocess import preprocess_image_np, transform_keypoints_np
+from .bbox import random_extended_bbox
+
+
+def read_as_rgb(path: str) -> np.ndarray:
+    """Read an image file as RGB uint8 (H, W, 3)."""
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        from PIL import Image
+
+        return np.asarray(Image.open(path).convert("RGB"))
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+class HeatmapCoder:
+    """Host-side per-sample Gaussian heatmap encoder (API parity with
+    /root/reference/model_training/data/coder.py; the device path uses
+    ops.heatmap.encode_heatmap instead)."""
+
+    def __init__(self, img_size: int = 256, stride: int = 4, radius: int = 5, num_classes: int = 68):
+        self.img_size = img_size
+        self.stride = stride
+        self.radius = radius
+        self.num_classes = num_classes
+        d = 2 * radius + 1
+        sigma = d / 6.0
+        ax = np.arange(-radius, radius + 1)
+        xx, yy = np.meshgrid(ax, ax)
+        g = np.exp(-(xx * xx + yy * yy) / (2 * sigma * sigma)).astype(np.float32)
+        g[g < np.finfo(np.float32).eps * g.max()] = 0
+        self._gaussian = g
+
+    def __call__(self, keypoints: np.ndarray, presence: np.ndarray) -> np.ndarray:
+        size = self.img_size // self.stride
+        hm = np.zeros((self.num_classes, size, size), np.float32)
+        r = self.radius
+        for i, kp in enumerate(keypoints):
+            if not presence[i]:
+                continue
+            x, y = int(kp[0] // self.stride), int(kp[1] // self.stride)
+            if x < 0 or y < 0 or x >= size or y >= size:
+                continue
+            l, rr = min(x, r), min(size - x, r + 1)
+            t, b = min(y, r), min(size - y, r + 1)
+            patch = self._gaussian[r - t : r + b, r - l : r + rr]
+            np.maximum(hm[i, y - t : y + b, x - l : x + rr], patch, out=hm[i, y - t : y + b, x - l : x + rr])
+        return np.uint8(255.0 * hm)
+
+
+class FlameDataset:
+    """data: list of {img_path, annotation_path, bbox}; config: dataset dict
+    (dataset_root, img_size, stride, num_classes, keypoints, transform)."""
+
+    def __init__(self, data: List[Dict[str, Any]], config: Dict[str, Any]):
+        self.data = data
+        self.config = config
+        self.root = config.get("dataset_root", ".")
+        self.img_size = int(config.get("img_size", 256))
+        self.stride = int(config.get("stride", 4))
+        self.num_classes = int(config.get("num_classes", 68))
+        self.normalize = config.get("transform", {}).get("normalize", "imagenet")
+        kp_cfg = config.get("keypoints", {}) or {}
+        subset_name = kp_cfg.get("2d_subset_name", "multipie_keypoints")
+        if subset_name == "multipie_keypoints":
+            self.keypoint_indices = None  # 68 barycentric landmarks
+        else:
+            self.keypoint_indices = assets.load_keypoint_subset(subset_name)
+        self.coder = HeatmapCoder(self.img_size, self.stride, num_classes=self.num_classes)
+        self.train_mode = bool(config.get("train_mode", True))
+        self._rng = np.random.default_rng(config.get("seed", 0))
+        # lazy torch-free landmark evaluation on host
+        emb = assets.load_landmark_embeddings()
+        faces = assets.get_faces()
+        self._static_vids = faces[emb["static_lmk_face_idx"]]
+        self._static_bary = emb["static_lmk_b_coords"]
+        self._dyn_vids = faces[emb["dynamic_lmk_face_idx"][0]]
+        self._dyn_bary = emb["dynamic_lmk_b_coords"][0]
+
+    # -- construction ------------------------------------------------------
+    @classmethod
+    def from_config(cls, config: Dict[str, Any]) -> "FlameDataset":
+        with open(config["ann_path"]) as f:
+            anno = json.load(f)
+        return cls(data=anno, config=config)
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    # -- per-sample pipeline ----------------------------------------------
+    def _landmarks68_host(self, vertices: np.ndarray) -> np.ndarray:
+        """(5023, 3) -> (68, 3), numpy (dynamic contour at zero pose)."""
+        stat = np.einsum("kic,ki->kc", vertices[self._static_vids], self._static_bary)
+        dyn = np.einsum("kic,ki->kc", vertices[self._dyn_vids], self._dyn_bary)
+        return np.concatenate([dyn, stat], axis=0)
+
+    @staticmethod
+    def _load_mesh(path: str):
+        with open(path) as f:
+            data = json.load(f)
+        v3d = np.asarray(data["vertices"], np.float32)
+        mv = np.asarray(data["model_view_matrix"], np.float32)
+        homo = np.concatenate([v3d, np.ones_like(v3d[:, :1])], -1)
+        world_homo = homo @ mv.T
+        return v3d, world_homo, np.asarray(data["projection_matrix"], np.float32)
+
+    @staticmethod
+    def _project(world_homo: np.ndarray, proj: np.ndarray, height: float, cx: float, cy: float):
+        p = world_homo @ proj.T
+        xy = p[:, :2] / p[:, 3:4]
+        xy = np.stack([xy[:, 0], height - xy[:, 1]], -1)
+        return xy - np.asarray([cx, cy], np.float32)
+
+    def __getitem__(self, idx: int) -> Optional[Dict[str, Any]]:
+        try:
+            item = self.data[idx]
+            img = read_as_rgb(os.path.join(self.root, item["img_path"]))
+            bbox = random_extended_bbox(item["bbox"], img.shape[:2], self._rng)
+            x, y, w, h = bbox
+            crop = img[y : y + h, x : x + w]
+            if crop.size == 0:
+                return None
+
+            v3d, world_homo, proj = self._load_mesh(
+                os.path.join(self.root, item["annotation_path"])
+            )
+            height = img.shape[0]
+            if self.keypoint_indices is None:
+                lm3 = self._landmarks68_host(world_homo[:, :3])
+                lm3h = np.concatenate([lm3, np.ones_like(lm3[:, :1])], -1)
+            else:
+                lm3h = world_homo[self.keypoint_indices]
+            lms_2d = self._project(lm3h, proj, height, x, y)
+            full_2d = self._project(world_homo, proj, height, x, y)
+
+            presence = (
+                (lms_2d[:, 0] > 0) & (lms_2d[:, 0] < w) & (lms_2d[:, 1] > 0) & (lms_2d[:, 1] < h)
+            )
+
+            tensor, scale, pads = preprocess_image_np(crop, self.img_size, self.normalize)
+            lms_t = transform_keypoints_np(lms_2d, scale, pads)
+            full_t = transform_keypoints_np(full_2d, scale, pads)
+
+            heatmap = self.coder(lms_t, presence)  # (C, S, S) uint8
+            return {
+                SAMPLE_INDEX_KEY: idx,
+                IMAGE_FILENAME_KEY: item["img_path"],
+                INPUT_IMAGE_KEY: tensor,
+                INPUT_BBOX_KEY: np.asarray(bbox, np.float32),
+                TARGET_3D_MODEL_VERTICES: v3d,
+                TARGET_2D_LANDMARKS: (lms_t / self.img_size).astype(np.float32),
+                TARGET_2D_FULL_LANDMARKS: full_t.astype(np.float32),
+                TARGET_2D_LANDMARKS_PRESENCE: presence,
+                TARGET_LANDMARKS_HEATMAP: np.transpose(heatmap, (1, 2, 0)),  # HWC
+            }
+        except (OSError, KeyError, ValueError, json.JSONDecodeError):
+            return None
+
+
+def collate(samples: List[Optional[Dict[str, Any]]]) -> Dict[str, Any]:
+    """Stack samples; None entries are replaced by duplicating good ones."""
+    good = [s for s in samples if s is not None]
+    if not good:
+        raise RuntimeError("all samples in batch failed to load")
+    while len(good) < len(samples):
+        good.append(good[len(good) % max(len(good), 1)])
+    out: Dict[str, Any] = {}
+    for k in good[0]:
+        vals = [s[k] for s in good]
+        if isinstance(vals[0], np.ndarray):
+            out[k] = np.stack(vals)
+        else:
+            out[k] = vals
+    return out
+
+
+class DataLoader:
+    """Threaded prefetching loader producing numpy batches.
+
+    The reference delegates to torch DataLoader worker processes; here image
+    decode is the only heavy host work (heatmaps can run on device), so a
+    small thread pool + bounded prefetch queue keeps the TPU fed without
+    process-spawn overhead.
+    """
+
+    def __init__(
+        self,
+        dataset: FlameDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        num_workers: int = 8,
+        prefetch: int = 4,
+        seed: int = 0,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        batches = [
+            order[i : i + self.batch_size]
+            for i in range(0, len(order), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(self.num_workers) as ex:
+                        samples = list(ex.map(self.dataset.__getitem__, b))
+                    q.put(collate(samples))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()

@@ -89,17 +89,25 @@ class SharedFlameDecode:
     reprojected_2d: jax.Array
 
 
-def shared_flame_decode(head_mesh: HeadMesh, params_3dmm: jax.Array) -> SharedFlameDecode:
-    params = FlameParams.from_3dmm(params_3dmm, head_mesh.flame_constants)
-    v0 = flame_decode(head_mesh.model, params, zero_rot=True)
+def shared_flame_decode_raw(
+    model, params_3dmm: jax.Array, flame_constants: Dict[str, int], image_size: int
+) -> SharedFlameDecode:
+    params = FlameParams.from_3dmm(params_3dmm, flame_constants)
+    v0 = flame_decode(model, params, zero_rot=True)
     R = rot_mat_from_6dof(params.rotation.astype(v0.dtype))
     v_rot = jnp.einsum("bxy,bvy->bvx", R, v0, precision=jax.lax.Precision.HIGHEST)
 
     scale = jnp.clip(params.scale[:, None] + 1.0, min=1e-8)
     translation = params.translation.at[..., 2].set(0.0)
-    proj = (v_rot * scale + translation[:, None] + 1.0) / 2.0 * head_mesh.image_size
+    proj = (v_rot * scale + translation[:, None] + 1.0) / 2.0 * image_size
     return SharedFlameDecode(
         vertices_zero_rot=v0, vertices_rot=v_rot, reprojected_2d=proj[..., :2]
+    )
+
+
+def shared_flame_decode(head_mesh: HeadMesh, params_3dmm: jax.Array) -> SharedFlameDecode:
+    return shared_flame_decode_raw(
+        head_mesh.model, params_3dmm, head_mesh.flame_constants, head_mesh.image_size
     )
 
 
@@ -311,6 +319,7 @@ __all__ = [
     "SubsetWeights",
     "SharedFlameDecode",
     "shared_flame_decode",
+    "shared_flame_decode_raw",
     "LossModule",
     "DEFAULT_LOSS_CONFIG",
 ]

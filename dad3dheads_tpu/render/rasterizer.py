@@ -1,0 +1,201 @@
+"""TPU-native mesh rasterizer (pure JAX/XLA; CPU C++ fallback in native/).
+
+Replaces the reference's Sim3DR C++ scanline rasterizer
+(/root/reference/Sim3DR/lib/rasterize_kernel.cpp: per-triangle loops with a
+mutable z-buffer). A serial z-buffer does not map to TPU; instead the
+algorithm is re-designed as a data-parallel reduction:
+
+  for every (pixel-tile, triangle-chunk): compute barycentric coordinates of
+  each pixel in each triangle (one broadcasted VPU computation), mask pixels
+  outside, interpolate depth, and keep the per-pixel argmax-depth triangle
+  via a running max carried through a lax.scan over triangle chunks.
+
+Depth convention matches Sim3DR: the z-buffer keeps the LARGEST interpolated
+z (buffer initialized to -1e8); callers flip z for a camera looking down -z
+(see pncc, /root/reference/inference/pncc_estimator.py:93-101).
+
+Outputs match Sim3DR's two entry points:
+  - ``rasterize``: colors splatted with alpha over a background image
+    (Sim3DR.rasterize, Sim3DR/Sim3DR.py:14-29);
+  - ``rasterize_buffers``: depth / triangle-id / barycentric buffers
+    (``_rasterize_triangles``);
+  - ``get_normal``: one-ring area-weighted vertex normals (``_get_normal``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_ZBUF_INIT = -1e8
+
+
+def _triangle_setup(vertices: jax.Array, faces: jax.Array):
+    """Per-triangle screen-space data: corners (T, 3, 3) in (x, y, z)."""
+    return vertices[faces]  # (T, 3, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "tile_rows", "chunk"))
+def rasterize_buffers(
+    vertices: jax.Array,
+    faces: jax.Array,
+    height: int,
+    width: int,
+    tile_rows: int = 32,
+    chunk: int = 1024,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Z-buffer rasterization of a single mesh.
+
+    Args:
+      vertices: (V, 3) screen-space vertices — x right, y down, z toward the
+        viewer (larger z wins).
+      faces: (T, 3) int32 triangle vertex indices.
+    Returns:
+      depth:  (H, W) fp32, _ZBUF_INIT where empty
+      tri_id: (H, W) int32, -1 where empty
+      bary:   (H, W, 3) fp32 barycentric weights of the winning triangle
+    """
+    tri = _triangle_setup(vertices.astype(jnp.float32), faces)  # (T, 3, 3)
+    T = tri.shape[0]
+    pad = (-T) % chunk
+    tri = jnp.pad(tri, ((0, pad), (0, 0), (0, 0)))
+    # mark padded triangles degenerate so they never win
+    valid_tri = jnp.arange(tri.shape[0]) < T
+    n_chunks = tri.shape[0] // chunk
+    tri_chunks = tri.reshape(n_chunks, chunk, 3, 3)
+    valid_chunks = valid_tri.reshape(n_chunks, chunk)
+
+    assert height % tile_rows == 0, (height, tile_rows)
+
+    xs = jnp.arange(width, dtype=jnp.float32) + 0.0
+    tri_ids = (
+        jnp.arange(n_chunks * chunk, dtype=jnp.int32).reshape(n_chunks, chunk)
+    )
+
+    def render_strip(row0):
+        ys = row0.astype(jnp.float32) + jnp.arange(tile_rows, dtype=jnp.float32)
+        px = xs[None, :, None]  # (1, W, 1)
+        py = ys[:, None, None]  # (R, 1, 1)
+
+        def body(carry, inp):
+            best_z, best_id, best_bary = carry
+            tc, vc, ids = inp  # (C, 3, 3), (C,), (C,)
+            x0, y0 = tc[:, 0, 0], tc[:, 0, 1]
+            x1, y1 = tc[:, 1, 0], tc[:, 1, 1]
+            x2, y2 = tc[:, 2, 0], tc[:, 2, 1]
+            # signed doubled area; degenerate -> reject
+            area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)  # (C,)
+            inv_area = jnp.where(jnp.abs(area) > 1e-12, 1.0 / area, 0.0)
+
+            # barycentric via edge functions, broadcast over the pixel tile
+            w0 = ((x1 - px) * (y2 - py) - (x2 - px) * (y1 - py)) * inv_area
+            w1 = ((x2 - px) * (y0 - py) - (x0 - px) * (y2 - py)) * inv_area
+            w2 = 1.0 - w0 - w1  # (R, W, C)
+
+            # small tolerance: w2 = 1 - w0 - w1 can round just below 0 for
+            # pixels exactly on an edge
+            eps = 1e-5
+            inside = (w0 >= -eps) & (w1 >= -eps) & (w2 >= -eps)
+            inside &= (jnp.abs(area) > 1e-12) & vc
+            z = w0 * tc[:, 0, 2] + w1 * tc[:, 1, 2] + w2 * tc[:, 2, 2]
+            z = jnp.where(inside, z, _ZBUF_INIT)
+
+            # per-pixel winner within this chunk
+            k = jnp.argmax(z, axis=-1)  # (R, W)
+            zk = jnp.take_along_axis(z, k[..., None], axis=-1)[..., 0]
+            take = zk > best_z
+            best_z = jnp.where(take, zk, best_z)
+            best_id = jnp.where(take, ids[k], best_id)
+            bary_k = jnp.stack(
+                [
+                    jnp.take_along_axis(w0, k[..., None], axis=-1)[..., 0],
+                    jnp.take_along_axis(w1, k[..., None], axis=-1)[..., 0],
+                    jnp.take_along_axis(w2, k[..., None], axis=-1)[..., 0],
+                ],
+                axis=-1,
+            )
+            best_bary = jnp.where(take[..., None], bary_k, best_bary)
+            return (best_z, best_id, best_bary), None
+
+        init = (
+            jnp.full((tile_rows, width), _ZBUF_INIT, jnp.float32),
+            jnp.full((tile_rows, width), -1, jnp.int32),
+            jnp.zeros((tile_rows, width, 3), jnp.float32),
+        )
+        (z, i, b), _ = jax.lax.scan(body, init, (tri_chunks, valid_chunks, tri_ids))
+        return z, i, b
+
+    row_starts = jnp.arange(0, height, tile_rows)
+    depth, tri_id, bary = jax.lax.map(render_strip, row_starts)
+    return (
+        depth.reshape(height, width),
+        tri_id.reshape(height, width),
+        bary.reshape(height, width, 3),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width"))
+def shade(
+    tri_id: jax.Array,
+    bary: jax.Array,
+    faces: jax.Array,
+    colors: jax.Array,
+    bg: jax.Array,
+    alpha: float = 1.0,
+    height: int = 0,
+    width: int = 0,
+) -> jax.Array:
+    """Interpolate per-vertex colors over the rasterized buffers and alpha-
+    blend into a uint8 background image."""
+    safe_id = jnp.maximum(tri_id, 0)
+    vid = faces[safe_id]  # (H, W, 3)
+    c = colors[vid]  # (H, W, 3verts, 3rgb)
+    pix = jnp.sum(c * bary[..., None], axis=-2)  # (H, W, 3) in [0, 1]
+    covered = (tri_id >= 0)[..., None]
+    out = jnp.where(
+        covered,
+        (1.0 - alpha) * bg.astype(jnp.float32) + alpha * 255.0 * jnp.clip(pix, 0.0, 1.0),
+        bg.astype(jnp.float32),
+    )
+    return jnp.clip(out + 0.5, 0, 255).astype(jnp.uint8)
+
+
+def rasterize(
+    vertices,
+    faces,
+    colors,
+    bg: Optional[jax.Array] = None,
+    height: int = 256,
+    width: int = 256,
+    alpha: float = 1.0,
+    channels: int = 3,
+) -> jax.Array:
+    """Sim3DR-compatible entry: render per-vertex colors over ``bg``."""
+    vertices = jnp.asarray(vertices, jnp.float32)
+    faces = jnp.asarray(faces, jnp.int32)
+    colors = jnp.asarray(colors, jnp.float32)
+    if bg is None:
+        bg = jnp.zeros((height, width, channels), jnp.uint8)
+    else:
+        bg = jnp.asarray(bg)
+        height, width = bg.shape[:2]
+    th = 32 if height % 32 == 0 else (16 if height % 16 == 0 else 1)
+    depth, tri_id, bary = rasterize_buffers(vertices, faces, height, width, tile_rows=th)
+    return shade(tri_id, bary, faces, colors, bg, alpha, height, width)
+
+
+@jax.jit
+def get_normal(vertices: jax.Array, faces: jax.Array) -> jax.Array:
+    """One-ring vertex normals: sum of adjacent-face cross products per
+    vertex, normalized (Sim3DR ``_get_normal`` semantics — the cross-product
+    magnitude is the implicit area weight)."""
+    tri = vertices[faces]  # (T, 3, 3)
+    fn = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])  # (T, 3)
+    vn = jnp.zeros_like(vertices)
+    for k in range(3):
+        vn = vn.at[faces[:, k]].add(fn)
+    norm = jnp.linalg.norm(vn, axis=-1, keepdims=True)
+    return vn / jnp.maximum(norm, 1e-12)

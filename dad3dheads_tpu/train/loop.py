@@ -1,0 +1,236 @@
+"""The training loop (DAD3DTrainer equivalent).
+
+Behavioral spec: /root/reference/model_training/train/trainer.py +
+flame_lightning_model.py — fit over epochs with per-step losses/metrics,
+validation each epoch, checkpoint top-k on the monitored metric, early
+stopping, plateau LR, TensorBoard + console logging, inference export of the
+best checkpoint.
+
+TPU-first: the loop body is host-side orchestration only; every numeric op
+lives in the two jitted steps. Batches are device_put with the data-axis
+NamedSharding before the step (DP over the mesh); metric scalars are fetched
+once per logging interval to keep the host-device traffic off the step path.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.flame import FlameModel
+from ..losses import LossModule
+from ..parallel import batch_sharding, local_data_parallel_mesh, replicated
+from .checkpoint import CheckpointManager
+from .optimizers import get_optimizer
+from .schedulers import EarlyStopping, ReduceLROnPlateau, get_schedule
+from .state import TrainState, init_train_state
+from .step import build_eval_step, build_train_step
+
+logger = logging.getLogger(__name__)
+
+
+class MetricAccumulator:
+    def __init__(self):
+        self._sums: Dict[str, float] = {}
+        self._n = 0
+
+    def add(self, logs: Dict[str, jax.Array]) -> None:
+        self._n += 1
+        for k, v in logs.items():
+            self._sums[k] = self._sums.get(k, 0.0) + float(v)
+
+    def means(self) -> Dict[str, float]:
+        return {k: v / max(self._n, 1) for k, v in self._sums.items()}
+
+
+class Trainer:
+    """Orchestrates fit/validate/checkpoint/early-stop for DAD-3DNet."""
+
+    def __init__(
+        self,
+        model,
+        config: Dict[str, Any],
+        train_loader: Optional[Iterable] = None,
+        val_loader: Optional[Iterable] = None,
+        flame: Optional[FlameModel] = None,
+        mesh=None,
+    ):
+        self.model = model
+        self.config = config
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.flame = flame if flame is not None else FlameModel.load()
+        self.mesh = mesh if mesh is not None else local_data_parallel_mesh()
+
+        self.img_size = int(config.get("img_size", 256))
+        self.max_epochs = int(config.get("max_epochs", 100))
+        self.min_epochs = int(config.get("min_epochs", 0))
+        self.monitor = config.get("metric_to_monitor", "metrics/reproject_nme_2d")
+        self.monitor_mode = config.get("metric_mode", "min")
+        self.experiment_dir = config.get("experiment_dir", "experiments/run")
+        os.makedirs(self.experiment_dir, exist_ok=True)
+
+        opt_cfg = dict(config.get("optimizer", {"name": "adam", "lr": 1e-4}))
+        self.base_lr = float(opt_cfg.get("lr", 1e-4))
+        sched_cfg = config.get("scheduler", {}) or {}
+        self.warmup_steps = int(sched_cfg.get("warmup_steps", 0))
+        self.schedule = get_schedule(sched_cfg, base_lr=1.0)  # factor-style schedule
+        self.plateau = (
+            ReduceLROnPlateau(
+                mode=self.monitor_mode,
+                factor=float(sched_cfg.get("factor", 0.5)),
+                patience=int(sched_cfg.get("patience", 8)),
+            )
+            if sched_cfg.get("name") == "plateau"
+            else None
+        )
+        self.early_stopping = (
+            EarlyStopping(patience=int(config["early_stopping"]), mode=self.monitor_mode)
+            if config.get("early_stopping")
+            else None
+        )
+
+        self.tx = get_optimizer(
+            opt_cfg, gradient_clip_val=float(config.get("gradient_clip_val", 0.0))
+        )
+        loss_module = LossModule(config.get("loss"))
+        self.train_step = build_train_step(
+            model,
+            self.tx,
+            loss_module=loss_module,
+            img_size=self.img_size,
+            warmup_steps=self.warmup_steps,
+        )
+        self.eval_step = build_eval_step(model, loss_module, img_size=self.img_size)
+
+        self.ckpt = CheckpointManager(
+            os.path.join(self.experiment_dir, "checkpoints"),
+            monitor=f"valid/{self.monitor}" if not self.monitor.startswith("valid") else self.monitor,
+            mode=self.monitor_mode,
+            save_top_k=int(config.get("save_top_k", 3)),
+        )
+        self._tb = None
+        self._log_file = open(os.path.join(self.experiment_dir, "metrics.jsonl"), "a")
+
+    # -- logging ----------------------------------------------------------
+    def _tb_writer(self):
+        if self._tb is None:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.join(self.experiment_dir, "tb"))
+            except Exception:  # tensorboard optional
+                self._tb = False
+        return self._tb
+
+    def log_metrics(self, metrics: Dict[str, float], step: int) -> None:
+        tb = self._tb_writer()
+        if tb:
+            for k, v in metrics.items():
+                tb.add_scalar(k, v, step)
+        self._log_file.write(json.dumps({"step": step, **metrics}) + "\n")
+        self._log_file.flush()
+
+    # -- data placement ----------------------------------------------------
+    def _put_batch(self, batch: Dict[str, Any]):
+        sharding = batch_sharding(self.mesh)
+        arrays = {
+            k: v for k, v in batch.items() if isinstance(v, (np.ndarray, jnp.ndarray))
+        }
+        n_data = self.mesh.shape["data"]
+        for k, v in arrays.items():
+            if v.shape[0] % n_data != 0:
+                raise ValueError(
+                    f"batch axis of {k} ({v.shape[0]}) must be divisible by the "
+                    f"data-mesh axis ({n_data} devices)"
+                )
+        return {k: jax.device_put(jnp.asarray(v), sharding) for k, v in arrays.items()}
+
+    # -- fit ---------------------------------------------------------------
+    def fit(self, state: Optional[TrainState] = None, resume: bool = False) -> TrainState:
+        if state is None:
+            state = init_train_state(
+                self.model,
+                self.tx,
+                jax.random.PRNGKey(int(self.config.get("seed", 0))),
+                (1, self.img_size, self.img_size, 3),
+            )
+        if resume:
+            try:
+                state = self.ckpt.restore_last(state)
+                logger.info("resumed from last checkpoint at step %d", int(state.step))
+            except FileNotFoundError:
+                logger.info("no checkpoint to resume from; starting fresh")
+        state = jax.device_put(state, replicated(self.mesh))
+        flame = jax.device_put(self.flame, replicated(self.mesh))
+
+        rng = jax.random.PRNGKey(int(self.config.get("seed", 0)) + 1)
+        lr_mult = 1.0
+
+        start_epoch = int(state.epoch)
+        for epoch in range(start_epoch, self.max_epochs):
+            state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
+            t0 = time.time()
+            acc = MetricAccumulator()
+            n_batches = 0
+            for batch in self.train_loader:
+                sched_factor = (
+                    float(self.schedule(int(state.step))) if self.schedule else 1.0
+                )
+                state, logs = self.train_step(
+                    state,
+                    flame,
+                    self._put_batch(batch),
+                    rng,
+                    jnp.asarray(lr_mult * sched_factor, jnp.float32),
+                )
+                acc.add(logs)
+                n_batches += 1
+            train_metrics = {f"train/{k}": v for k, v in acc.means().items()}
+
+            val_metrics: Dict[str, float] = {}
+            if self.val_loader is not None:
+                vacc = MetricAccumulator()
+                for batch in self.val_loader:
+                    vacc.add(self.eval_step(state, flame, self._put_batch(batch)))
+                val_metrics = {f"valid/{k}": v for k, v in vacc.means().items()}
+
+            epoch_metrics = {**train_metrics, **val_metrics, "train/learning_rate": self.base_lr * lr_mult}
+            self.log_metrics(epoch_metrics, int(state.step))
+            logger.info(
+                "epoch %d done in %.1fs (%d batches): loss=%.4f %s",
+                epoch,
+                time.time() - t0,
+                n_batches,
+                epoch_metrics.get("train/loss", float("nan")),
+                {k: round(v, 4) for k, v in val_metrics.items() if "nme" in k},
+            )
+
+            monitored_key = self.ckpt.monitor
+            monitored = epoch_metrics.get(
+                monitored_key, epoch_metrics.get("train/loss", float("nan"))
+            )
+            self.ckpt.save(state, epoch, {monitored_key: monitored, **epoch_metrics})
+
+            if self.plateau is not None and np.isfinite(monitored):
+                lr_mult = self.plateau.step(monitored, self.base_lr * lr_mult)
+            if (
+                self.early_stopping is not None
+                and epoch + 1 >= self.min_epochs
+                and np.isfinite(monitored)
+                and self.early_stopping.step(monitored)
+            ):
+                logger.info("early stopping at epoch %d", epoch)
+                break
+
+        # export best (or last) for inference
+        export_path = self.ckpt.export_inference(state)
+        logger.info("exported inference checkpoint to %s", export_path)
+        return state

@@ -1,0 +1,79 @@
+"""Rasterizer / lighting tests with analytically-known scenes."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dad3dheads_tpu.render import get_normal, rasterize, rasterize_buffers
+from dad3dheads_tpu.render.lighting import RenderPipeline
+from dad3dheads_tpu.render.pncc import compute_ncc_color_codes
+
+
+def test_single_triangle_coverage_and_depth():
+    # right triangle covering the top-left of a 32x32 image, constant z=1
+    verts = jnp.asarray([[0.0, 0.0, 1.0], [31.0, 0.0, 1.0], [0.0, 31.0, 1.0]])
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    depth, tri_id, bary = rasterize_buffers(verts, faces, 32, 32, tile_rows=16)
+    depth, tri_id = np.asarray(depth), np.asarray(tri_id)
+    assert tri_id[1, 1] == 0 and depth[1, 1] == pytest.approx(1.0)
+    assert tri_id[30, 30] == -1  # outside the hypotenuse
+    assert tri_id[0, 0] == 0
+    # barycentric sums to 1 where covered
+    b = np.asarray(bary)[tri_id >= 0]
+    np.testing.assert_allclose(b.sum(-1), 1.0, atol=1e-5)
+
+
+def test_zbuffer_keeps_larger_z():
+    # two overlapping triangles; the one with larger z must win
+    verts = jnp.asarray(
+        [
+            [0.0, 0.0, 1.0], [31.0, 0.0, 1.0], [0.0, 31.0, 1.0],   # far
+            [0.0, 0.0, 5.0], [31.0, 0.0, 5.0], [0.0, 31.0, 5.0],   # near
+        ]
+    )
+    faces = jnp.asarray([[0, 1, 2], [3, 4, 5]], jnp.int32)
+    _, tri_id, _ = rasterize_buffers(verts, faces, 32, 32, tile_rows=16)
+    covered = np.asarray(tri_id)
+    assert (covered[covered >= 0] == 1).all()
+
+
+def test_rasterize_colors_and_background():
+    verts = jnp.asarray([[0.0, 0.0, 1.0], [31.0, 0.0, 1.0], [0.0, 31.0, 1.0]])
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    colors = jnp.asarray([[1.0, 0.0, 0.0]] * 3)  # red
+    bg = jnp.full((32, 32, 3), 7, jnp.uint8)
+    img = np.asarray(rasterize(verts, faces, colors, bg=bg))
+    assert img.shape == (32, 32, 3)
+    np.testing.assert_array_equal(img[1, 1], [255, 0, 0])
+    np.testing.assert_array_equal(img[30, 30], [7, 7, 7])  # untouched bg
+
+
+def test_vertex_normals_flat_square():
+    # two triangles forming a flat z=0 square -> all normals are +-z
+    verts = jnp.asarray(
+        [[0.0, 0, 0], [1.0, 0, 0], [1.0, 1.0, 0], [0.0, 1.0, 0]], jnp.float32
+    )
+    faces = jnp.asarray([[0, 1, 2], [0, 2, 3]], jnp.int32)
+    n = np.asarray(get_normal(verts, faces))
+    np.testing.assert_allclose(np.abs(n[:, 2]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(n[:, :2], 0.0, atol=1e-6)
+
+
+def test_lighting_pipeline_runs():
+    verts = jnp.asarray(
+        [[4.0, 4.0, 1.0], [28.0, 4.0, 1.0], [16.0, 28.0, 2.0]], jnp.float32
+    )
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    bg = jnp.zeros((32, 32, 3), jnp.uint8)
+    img = np.asarray(RenderPipeline()(verts, faces, bg))
+    assert img.shape == (32, 32, 3)
+    assert img.max() > 0  # something was lit and drawn
+
+
+def test_ncc_color_codes_unit_range():
+    rng = np.random.default_rng(0)
+    tpl = rng.normal(size=(100, 3)).astype(np.float32)
+    codes = compute_ncc_color_codes(tpl)
+    assert codes.min() >= 0 - 1e-6 and codes.max() <= 1 + 1e-6
+    with pytest.raises(ValueError):
+        compute_ncc_color_codes(tpl[:, :2])

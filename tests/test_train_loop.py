@@ -1,0 +1,129 @@
+"""Trainer loop / checkpointing / config / scheduler tests."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dad3dheads_tpu.train.checkpoint import CheckpointManager
+from dad3dheads_tpu.train.config import deep_merge, load_config, resolve_interpolations
+from dad3dheads_tpu.train.schedulers import (
+    EarlyStopping,
+    ReduceLROnPlateau,
+    flat_cosine_schedule,
+    warmup_factor,
+)
+
+
+def test_config_composition(tmp_path):
+    (tmp_path / "optimizer").mkdir()
+    (tmp_path / "optimizer" / "adam.yaml").write_text("optimizer:\n  name: adam\n  lr: 0.0001\n")
+    (tmp_path / "root.yaml").write_text(
+        "defaults:\n  - optimizer: adam\nbatch_size: 64\nimg_size: 256\n"
+        "train:\n  size: ${img_size}\n"
+    )
+    cfg = load_config(str(tmp_path / "root.yaml"), overrides=["optimizer.lr=0.01", "batch_size=8"])
+    assert cfg["optimizer"]["name"] == "adam"
+    assert cfg["optimizer"]["lr"] == 0.01
+    assert cfg["batch_size"] == 8
+    assert cfg["train"]["size"] == 256  # interpolation
+
+
+def test_repo_configs_compose():
+    cfg = load_config("configs/train.yaml")
+    assert cfg["model"]["backbone"] == "resnet50"
+    assert cfg["optimizer"]["name"] == "adam"
+    assert len(cfg["loss"]) == 4
+    assert cfg["constants"]["shape"] == 300
+    assert cfg["train"]["ann_path"].startswith("dataset/")
+
+
+def test_warmup_and_flat_cosine():
+    assert float(warmup_factor(0, 10)) == pytest.approx(0.1)
+    assert float(warmup_factor(9, 10)) == pytest.approx(1.0)
+    assert float(warmup_factor(100, 10)) == pytest.approx(1.0)
+
+    sched = flat_cosine_schedule(1.0, t_max=100, t_flat=30)
+    assert float(sched(0)) == pytest.approx(1.0)
+    assert float(sched(30)) == pytest.approx(1.0)
+    assert float(sched(100)) == pytest.approx(0.0, abs=1e-6)
+    assert 0.4 < float(sched(65)) < 0.6
+
+
+def test_plateau_and_early_stopping():
+    pl = ReduceLROnPlateau(patience=2, factor=0.5)
+    lr = 1.0
+    for v in [1.0, 0.9, 0.9, 0.9, 0.9]:  # 3 bad epochs after the best
+        m = pl.step(v, lr)
+    assert m == pytest.approx(0.5)
+
+    es = EarlyStopping(patience=2)
+    stops = [es.step(v) for v in [1.0, 0.5, 0.6, 0.7]]
+    assert stops == [False, False, False, True]
+
+
+def test_checkpoint_top_k(tmp_path):
+    from dad3dheads_tpu.train.state import TrainState
+
+    mgr = CheckpointManager(str(tmp_path), monitor="m", mode="min", save_top_k=2)
+    state = {"w": jnp.arange(4.0)}
+    for epoch, m in enumerate([5.0, 3.0, 4.0, 1.0]):
+        state = {"w": jnp.arange(4.0) + epoch}
+        mgr.save(state, epoch, {"m": m})
+    assert mgr.best["value"] == 1.0
+    # only top-2 kept (+ last + registry)
+    files = [f for f in os.listdir(tmp_path) if f.endswith(".msgpack") and f != "last.msgpack"]
+    assert len(files) == 2
+    restored = mgr.restore({"w": jnp.zeros(4)})
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.arange(4.0) + 3)
+    last = mgr.restore_last({"w": jnp.zeros(4)})
+    np.testing.assert_array_equal(np.asarray(last["w"]), np.arange(4.0) + 3)
+
+
+def test_trainer_fit_synthetic(tmp_path):
+    """Two-epoch fit on synthetic data end-to-end (tiny net shapes)."""
+    from dad3dheads_tpu.cli.train import SyntheticLoader
+    from dad3dheads_tpu.core.flame import FlameModel
+    from dad3dheads_tpu.core.landmarks import LandmarkEmbedding
+    from dad3dheads_tpu.models import create_model
+    from dad3dheads_tpu.train.loop import Trainer
+
+    flame = FlameModel.load()
+    emb = LandmarkEmbedding.load()
+    model = create_model({"backbone": "resnet50"})
+    config = {
+        "img_size": 64,
+        "max_epochs": 2,
+        "batch_size": 8,
+        "optimizer": {"name": "adam", "lr": 1e-4},
+        "scheduler": {"name": "plateau", "patience": 2, "warmup_steps": 2},
+        "gradient_clip_val": 5.0,
+        "experiment_dir": str(tmp_path / "exp"),
+        "save_top_k": 2,
+        "early_stopping": 5,
+    }
+    # batch must divide the 8-device data axis
+    loader = SyntheticLoader(flame, emb, batch_size=8, img_size=64, steps=2)
+    val = SyntheticLoader(flame, emb, batch_size=8, img_size=64, steps=1, seed=9)
+    trainer = Trainer(model, config, loader, val, flame=flame)
+    state = trainer.fit()
+    assert int(state.step) == 4  # 2 epochs x 2 steps
+
+    # metrics were logged
+    with open(tmp_path / "exp" / "metrics.jsonl") as f:
+        lines = [json.loads(l) for l in f]
+    assert len(lines) == 2
+    assert "train/loss" in lines[-1] and "valid/loss" in lines[-1]
+
+    # checkpoints + inference export exist
+    ckpt_dir = tmp_path / "exp" / "checkpoints"
+    assert (ckpt_dir / "last.msgpack").exists()
+    assert (ckpt_dir / "dad_3dnet.msgpack").exists()
+
+    # resume restores the step counter
+    trainer2 = Trainer(model, {**config, "max_epochs": 2}, loader, val, flame=flame)
+    state2 = trainer2.fit(resume=True)
+    assert int(state2.step) >= 4

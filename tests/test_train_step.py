@@ -1,0 +1,112 @@
+"""End-to-end train/eval step tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dad3dheads_tpu.core.flame import FlameModel
+from dad3dheads_tpu.core.landmarks import LandmarkEmbedding
+from dad3dheads_tpu.data import synthetic_batch
+from dad3dheads_tpu.models import create_model
+from dad3dheads_tpu.parallel import DATA_AXIS, make_mesh
+from dad3dheads_tpu.train import (
+    build_eval_step,
+    build_train_step,
+    get_optimizer,
+    init_train_state,
+)
+
+IMG = 64
+BATCH = 8
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = create_model({"backbone": "resnet50"})
+    tx = get_optimizer({"name": "adam", "lr": 1e-4}, gradient_clip_val=5.0)
+    state = init_train_state(model, tx, jax.random.PRNGKey(0), (1, IMG, IMG, 3))
+    flame = FlameModel.load()
+    emb = LandmarkEmbedding.load()
+    batch = jax.jit(lambda r: synthetic_batch(r, flame, emb, BATCH, IMG))(
+        jax.random.PRNGKey(1)
+    )
+    return model, tx, state, flame, batch
+
+
+def test_synthetic_batch_shapes(setup):
+    _, _, _, _, batch = setup
+    from dad3dheads_tpu.constants import (
+        INPUT_IMAGE_KEY,
+        TARGET_2D_LANDMARKS,
+        TARGET_2D_LANDMARKS_PRESENCE,
+        TARGET_3D_MODEL_VERTICES,
+        TARGET_LANDMARKS_HEATMAP,
+    )
+
+    assert batch[INPUT_IMAGE_KEY].shape == (BATCH, IMG, IMG, 3)
+    assert batch[TARGET_LANDMARKS_HEATMAP].shape == (BATCH, IMG // 4, IMG // 4, 68)
+    assert batch[TARGET_LANDMARKS_HEATMAP].dtype == jnp.uint8
+    assert batch[TARGET_2D_LANDMARKS].shape == (BATCH, 68, 2)
+    assert batch[TARGET_2D_LANDMARKS_PRESENCE].shape == (BATCH, 68)
+    assert batch[TARGET_3D_MODEL_VERTICES].shape == (BATCH, 5023, 3)
+    # heatmaps actually contain peaks for present landmarks
+    present = np.asarray(batch[TARGET_2D_LANDMARKS_PRESENCE]).sum()
+    assert present > 0
+    assert int(np.asarray(batch[TARGET_LANDMARKS_HEATMAP]).max()) == 255
+
+
+def test_train_step_runs_and_reduces_loss(setup):
+    model, tx, state, flame, batch = setup
+    # the train step donates its input state; keep the fixture's copy alive
+    state = jax.tree_util.tree_map(jnp.copy, state)
+    train_step = build_train_step(model, tx, img_size=IMG, warmup_steps=0)
+    rng = jax.random.PRNGKey(2)
+    lr = jnp.ones((), jnp.float32)
+
+    state1, logs1 = train_step(state, flame, batch, rng, lr)
+    assert np.isfinite(float(logs1["loss"]))
+    assert int(state1.step) == 1
+    for k in ("heatmap_loss", "vertices3d_loss", "reprojection_loss", "landmarks_loss"):
+        assert k in logs1, sorted(logs1)
+    assert "metrics/reproject_nme_2d" in logs1
+
+    # several steps on the same batch should reduce the loss (overfit sanity)
+    s, last = state1, float(logs1["loss"])
+    for i in range(4):
+        s, logs = train_step(s, flame, batch, rng, lr)
+    assert float(logs["loss"]) < last, (float(logs["loss"]), last)
+
+
+def test_eval_step(setup):
+    model, tx, state, flame, batch = setup
+    eval_step = build_eval_step(model, img_size=IMG)
+    logs = eval_step(state, flame, batch)
+    assert np.isfinite(float(logs["loss"]))
+    assert "metrics/nme_3d" in logs
+
+
+def test_train_step_sharded_over_mesh(setup):
+    """DP over the 8-device mesh: batch sharded, state replicated."""
+    model, tx, state, flame, batch = setup
+    mesh = make_mesh()  # all 8 virtual devices on the data axis
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+
+    state_r = jax.device_put(jax.tree_util.tree_map(jnp.copy, state), repl)
+    flame_r = jax.device_put(flame, repl)
+    batch_s = jax.tree_util.tree_map(lambda x: jax.device_put(x, shard), batch)
+
+    train_step = build_train_step(model, tx, img_size=IMG)
+    state1, logs = train_step(state_r, flame_r, batch_s, jax.random.PRNGKey(3), 1.0)
+    assert np.isfinite(float(logs["loss"]))
+    # grads were all-reduced: params stay replicated
+    p = jax.tree_util.tree_leaves(state1.params)[0]
+    assert p.sharding.is_fully_replicated
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
