@@ -29,6 +29,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BATCH = int(os.environ.get("BENCH_BATCH", 256))
 ITERS = int(os.environ.get("BENCH_ITERS", 20))
+# bf16 activations on the MXU for the CNN; the FLAME geometry decode stays
+# fp32 (Precision.HIGHEST) — same split as training.
+DTYPE = os.environ.get("BENCH_DTYPE", "bf16")
 NORTH_STAR = 5000.0
 
 
@@ -42,15 +45,19 @@ def main() -> None:
     from dad3dheads_tpu.core.rotation import rot_mat_from_6dof
     from dad3dheads_tpu.models import create_model
 
-    model = create_model({"backbone": "resnet50"})
+    model = create_model({"backbone": "resnet50", "dtype": DTYPE})
     x_init = jnp.zeros((1, 256, 256, 3), jnp.float32)
     variables = jax.jit(lambda r: model.init(r, x_init, train=False))(jax.random.PRNGKey(0))
     flame = FlameModel.load()
     embedding = LandmarkEmbedding.load()
 
+    mode = os.environ.get("BENCH_MODE", "full")  # full | cnn_only | decode_only
+
     def pipeline(variables, flame, embedding, images):
         out = model.apply(variables, images, train=False)
-        mm = out[OUTPUT_3DMM_PARAMS]
+        mm = out[OUTPUT_3DMM_PARAMS].astype(jnp.float32)
+        if mode == "cnn_only":
+            return mm, mm, mm
         params = FlameParams.from_3dmm(mm)
         v0 = flame_decode(flame, params, zero_rot=True)
         R = rot_mat_from_6dof(params.rotation)

@@ -1,0 +1,79 @@
+"""Create a benchmark submission json from the framework's own predictor.
+
+Parity role: the reference defines the submission format
+(dad_3dheads_benchmark/README.md: {item_id: {68_landmarks_2d, N_landmarks_3d,
+7_landmarks_3d, rotation_matrix}}) but ships no generator; this closes the
+loop so "run the benchmark on our outputs" is one command.
+
+The predicted mesh is emitted in camera convention (z negated) — that is the
+orientation the Z_n metric scores against (it compares the prediction's z
+ordering to the *negated* GT z, benchmark evaluate.zn), and the 7-landmark
+Procrustes (reflection permitted) absorbs the flip for Chamfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..api.predictor import FaceMeshPredictor
+from ..core.landmarks import LandmarkEmbedding, get_68_landmarks
+from ..core.rotation import rot_mat_from_6dof
+from ..constants import flame_param_offset
+from .evaluate import SEVEN_LMK_INDICES
+
+
+def predictions_to_submission_entry(
+    predictions: Dict[str, np.ndarray], embedding: Optional[LandmarkEmbedding] = None
+) -> Dict[str, List]:
+    emb = embedding if embedding is not None else LandmarkEmbedding.load()
+    verts = np.asarray(predictions["3d_vertices"], np.float32)
+    lms3d = np.asarray(get_68_landmarks(jnp.asarray(verts)[None], emb))[0]
+    off = flame_param_offset("rotation")
+    rot6 = np.asarray(predictions["3dmm_params"])[:, off : off + 6]
+    R = np.asarray(rot_mat_from_6dof(jnp.asarray(rot6)))[0]
+    verts_cam = (verts * np.array([1.0, 1.0, -1.0], np.float32)).tolist()
+    svn_cam = (lms3d[SEVEN_LMK_INDICES] * np.array([1.0, 1.0, -1.0], np.float32)).tolist()
+    return {
+        "68_landmarks_2d": np.asarray(predictions["points"], np.float32).tolist(),
+        "N_landmarks_3d": verts_cam,
+        "7_landmarks_3d": svn_cam,
+        "rotation_matrix": R.tolist(),
+    }
+
+
+def generate_submission(
+    dataset_base: str,
+    subset: str = "val",
+    output_path: str = "data/submission.json",
+    checkpoint_path: Optional[str] = None,
+    limit: Optional[int] = None,
+) -> str:
+    """Run the predictor over a DAD-3DHeads subset and write a submission."""
+    from ..data.dataset import read_as_rgb
+
+    with open(f"{dataset_base}/DAD-3DHeadsDataset/{subset}/{subset}.json") as f:
+        items = json.load(f)
+    if limit:
+        items = items[:limit]
+
+    predictor = FaceMeshPredictor.dad_3dnet(checkpoint_path=checkpoint_path)
+    embedding = LandmarkEmbedding.load()
+
+    submission = {}
+    for el in items:
+        item_id = el["item_id"]
+        img = read_as_rgb(
+            f"{dataset_base}/DAD-3DHeadsDataset/{subset}/images/{item_id}.png"
+        )
+        preds = predictor(img)
+        submission[item_id] = predictions_to_submission_entry(preds, embedding)
+
+    os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
+    with open(output_path, "w") as f:
+        json.dump(submission, f)
+    return output_path

@@ -33,7 +33,7 @@ from ..constants import (
     NECK_COEFFS,
     ROT_COEFFS,
 )
-from .lbs import lbs
+from .lbs import lbs_from_shaped
 from .rotation import rot_mat_from_6dof
 
 
@@ -79,10 +79,14 @@ class FlameParams:
 
 @struct.dataclass
 class FlameModel:
-    """FLAME decoder constants as a device pytree."""
+    """FLAME decoder constants as a device pytree.
+
+    ``shapedirs`` is stored pre-transposed in the (L, V*3) matmul-native
+    layout so the blendshape contraction is a single (B, L) @ (L, V*3) MXU
+    pass with no per-step transpose."""
 
     v_template: jax.Array  # (V, 3)
-    shapedirs: jax.Array  # (V*3, 400) — pre-flattened for the MXU
+    shapedirs: jax.Array  # (400, V*3)
     posedirs: jax.Array  # (36, V*3)
     j_regressor: jax.Array  # (J, V)
     lbs_weights: jax.Array  # (V, J)
@@ -93,7 +97,7 @@ class FlameModel:
         V = arrays.v_template.shape[0]
         return cls(
             v_template=jnp.asarray(arrays.v_template, dtype),
-            shapedirs=jnp.asarray(arrays.shapedirs.reshape(V * 3, -1), dtype),
+            shapedirs=jnp.asarray(arrays.shapedirs.reshape(V * 3, -1).T, dtype),
             posedirs=jnp.asarray(arrays.posedirs, dtype),
             j_regressor=jnp.asarray(arrays.j_regressor, dtype),
             lbs_weights=jnp.asarray(arrays.lbs_weights, dtype),
@@ -111,7 +115,7 @@ class FlameModel:
     @property
     def shapedirs_vcl(self) -> jax.Array:
         """shapedirs in the (V, 3, L) layout."""
-        return self.shapedirs.reshape(self.num_vertices, 3, -1)
+        return self.shapedirs.T.reshape(self.num_vertices, 3, -1)
 
 
 def _pad_group(x: jax.Array, full: int) -> jax.Array:
@@ -167,12 +171,12 @@ def flame_decode(
         axis=-1,
     )
 
-    shapedirs_vcl = model.shapedirs_vcl
-    vertices, _ = lbs(
-        betas,
+    from ..ops.blendshapes import blend_shapes_fused
+
+    v_shaped = blend_shapes_fused(betas, model.shapedirs, model.v_template)
+    vertices, _ = lbs_from_shaped(
+        v_shaped,
         full_pose,
-        model.v_template,
-        shapedirs_vcl,
         model.posedirs,
         model.j_regressor,
         list(model.parents),

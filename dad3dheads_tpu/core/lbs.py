@@ -96,6 +96,39 @@ def batch_rigid_transform(
     return posed_joints, rel
 
 
+def lbs_from_shaped(
+    v_shaped: jax.Array,
+    pose: jax.Array,
+    posedirs: jax.Array,
+    j_regressor: jax.Array,
+    parents: Sequence[int],
+    lbs_weights: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """LBS steps 2-6 given the already-blendshaped vertices (B, V, 3)."""
+    B, V = v_shaped.shape[0], v_shaped.shape[1]
+    J = j_regressor.shape[0]
+
+    joints = vertices2joints(j_regressor, v_shaped)  # (B, J, 3)
+    rot_mats = rodrigues(pose.reshape(B, J, 3))  # (B, J, 3, 3)
+
+    eye = jnp.eye(3, dtype=v_shaped.dtype)
+    pose_feature = (rot_mats[:, 1:] - eye).reshape(B, (J - 1) * 9)
+    pose_offsets = jnp.dot(
+        pose_feature, posedirs, precision=PRECISION, preferred_element_type=jnp.float32
+    ).reshape(B, V, 3)
+    v_posed = v_shaped + pose_offsets
+
+    posed_joints, rel_tf = batch_rigid_transform(rot_mats, joints, parents)
+
+    # Skinning: T = W (V, J) x A (B, J, 16) -> (B, V, 4, 4) as one matmul.
+    T = jnp.einsum("vj,bjpq->bvpq", lbs_weights, rel_tf, precision=PRECISION)
+    verts = (
+        jnp.einsum("bvxy,bvy->bvx", T[:, :, :3, :3], v_posed, precision=PRECISION)
+        + T[:, :, :3, 3]
+    )
+    return verts, posed_joints
+
+
 def lbs(
     betas: jax.Array,
     pose: jax.Array,
@@ -116,28 +149,5 @@ def lbs(
     Returns:
       vertices (B, V, 3), posed joints (B, J, 3).
     """
-    B = betas.shape[0]
-    V = v_template.shape[0]
-    J = j_regressor.shape[0]
-
     v_shaped = v_template[None] + blend_shapes(betas, shapedirs)  # (B, V, 3)
-    joints = vertices2joints(j_regressor, v_shaped)  # (B, J, 3)
-
-    rot_mats = rodrigues(pose.reshape(B, J, 3))  # (B, J, 3, 3)
-
-    eye = jnp.eye(3, dtype=v_shaped.dtype)
-    pose_feature = (rot_mats[:, 1:] - eye).reshape(B, (J - 1) * 9)
-    pose_offsets = jnp.dot(
-        pose_feature, posedirs, precision=PRECISION, preferred_element_type=jnp.float32
-    ).reshape(B, V, 3)
-    v_posed = v_shaped + pose_offsets
-
-    posed_joints, rel_tf = batch_rigid_transform(rot_mats, joints, parents)
-
-    # Skinning: T = W (V, J) x A (B, J, 16) -> (B, V, 4, 4) as one matmul.
-    T = jnp.einsum("vj,bjpq->bvpq", lbs_weights, rel_tf, precision=PRECISION)
-    verts = (
-        jnp.einsum("bvxy,bvy->bvx", T[:, :, :3, :3], v_posed, precision=PRECISION)
-        + T[:, :, :3, 3]
-    )
-    return verts, posed_joints
+    return lbs_from_shaped(v_shaped, pose, posedirs, j_regressor, parents, lbs_weights)

@@ -147,12 +147,18 @@ class DAD3DNet(nn.Module):
         }
 
 
+_DTYPES = {"float32": jnp.float32, "fp32": jnp.float32, "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}
+
+
 def create_model(config: Optional[Dict[str, Any]] = None) -> DAD3DNet:
     config = config or {}
+    dtype = config.get("dtype", jnp.float32)
+    if isinstance(dtype, str):
+        dtype = _DTYPES[dtype]
     return DAD3DNet(
         backbone=config.get("backbone", "resnet50"),
         num_filters=config.get("num_filters", 256),
         num_classes=config.get("num_classes", 68),
         limit_value=config.get("limit_value", 3.0),
-        dtype=config.get("dtype", jnp.float32),
+        dtype=dtype,
     )

@@ -1,0 +1,104 @@
+"""Pallas TPU kernel: fused FLAME blendshape + template accumulation.
+
+The widest matmul of the FLAME decode is
+  v_shaped = v_template + betas @ shapedirs      (B, 400) x (400, V*3)
+(reference hot path via smplx blend_shapes, SURVEY.md §3.4). XLA already maps
+the matmul onto the MXU; the win here is fusing the template broadcast-add
+into the same kernel (one HBM write instead of matmul-out + add) and keeping
+fp32 accumulation explicit.
+
+Grid: (B tiles, V*3 tiles). Each program computes a (TB, TN) output tile as
+betas_tile (TB, 400) @ shapedirs_tile (400, TN) on the MXU, adds the
+broadcast template row slice, and writes once.
+
+``blend_shapes_fused`` dispatches to the kernel on TPU and to a plain XLA
+expression elsewhere (CPU tests run the kernel in interpret mode).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(betas_ref, dirs_ref, template_ref, out_ref):
+    acc = jnp.dot(
+        betas_ref[:], dirs_ref[:], preferred_element_type=jnp.float32
+    )
+    out_ref[:] = acc + template_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def blend_shapes_fused_pallas(
+    betas: jax.Array,
+    shapedirs_flat: jax.Array,
+    v_template_flat: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """betas (B, L) x shapedirs (L, N) + template (N,) -> (B, N), N = V*3.
+
+    N (15069) is padded to a multiple of 128 lanes by the caller-visible
+    wrapper; this function requires aligned shapes.
+    """
+    B, L = betas.shape
+    N = shapedirs_flat.shape[1]
+    TB = min(128, max(8, B))
+    TN = 512
+    assert N % TN == 0, (N, TN)
+    assert B % TB == 0, (B, TB)
+
+    grid = (B // TB, N // TN)
+    return pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TB, L), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, TN), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, TN), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * L * N,
+            bytes_accessed=4 * (B * L + L * N + B * N + N),
+            transcendentals=0,
+        ),
+    )(betas.astype(jnp.float32), shapedirs_flat, v_template_flat[None, :])
+
+
+def blend_shapes_fused(
+    betas: jax.Array,
+    shapedirs_flat: jax.Array,  # (L, V*3) — note: transposed vs FlameModel storage
+    v_template: jax.Array,  # (V, 3)
+    force_xla: bool = False,
+) -> jax.Array:
+    """v_template + blend offsets, shape (B, V, 3). Pads the vertex axis to
+    the 128-lane boundary for the Pallas path."""
+    B = betas.shape[0]
+    V = v_template.shape[0]
+    N = V * 3
+    platform = jax.default_backend()
+    if force_xla or platform not in ("tpu",):
+        out = (
+            jnp.dot(
+                betas,
+                shapedirs_flat,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            + v_template.reshape(-1)[None, :]
+        )
+        return out.reshape(B, V, 3)
+
+    pad = (-N) % 512
+    dirs = jnp.pad(shapedirs_flat, ((0, 0), (0, pad)))
+    tmpl = jnp.pad(v_template.reshape(-1), (0, pad))
+    pad_b = (-B) % 8
+    betas_p = jnp.pad(betas, ((0, pad_b), (0, 0)))
+    out = blend_shapes_fused_pallas(betas_p, dirs, tmpl)
+    return out[:B, :N].reshape(B, V, 3)
