@@ -78,8 +78,10 @@ def main() -> None:
                 v, proj, lms = pipeline(variables, flame, embedding, imgs)
                 chk = jnp.mean(lms)
                 # data dependency between iterations so XLA cannot collapse
-                # the loop; the perturbation is below fp32 resolution
-                imgs = imgs + chk * 1e-30
+                # the loop; a single-element in-place update (the loop carry
+                # aliases, so this is not a full-buffer copy) with a
+                # below-fp32-resolution perturbation
+                imgs = imgs.at[0, 0, 0, 0].add(chk * 1e-30)
                 return imgs, acc + chk
 
             _, acc = jax.lax.fori_loop(0, n_iters, body, (images, jnp.zeros(())))

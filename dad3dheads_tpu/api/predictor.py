@@ -166,9 +166,9 @@ class FaceMeshPredictor:
         fp32-normalized. Returns network-frame outputs (no per-image
         readjustment)."""
         if images.dtype == np.uint8:
-            from ..ops.preprocess import normalize_batch_jax
+            from ..ops.preprocess_pallas import normalize_images
 
-            x = normalize_batch_jax(jnp.asarray(images))
+            x = normalize_images(jnp.asarray(images))
         else:
             x = jnp.asarray(images)
         consts_key = tuple(sorted(self.flame_constants.items()))

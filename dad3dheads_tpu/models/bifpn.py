@@ -22,11 +22,21 @@ BIFPN_BN_EPS = 4e-5
 
 def _resize_nearest(x: jax.Array, hw) -> jax.Array:
     """Nearest-neighbor resize matching torch F.interpolate(mode='nearest'):
-    src_idx = floor(dst_idx * src/dst)."""
+    src_idx = floor(dst_idx * src/dst).
+
+    The pyramid levels differ by exact powers of two, so the hot cases lower
+    to a broadcast (2x up) or a strided slice (2x down) instead of gathers —
+    both are layout-preserving, near-free ops on TPU. The general gather path
+    remains for arbitrary sizes."""
     B, H, W, C = x.shape
     h, w = hw
     if (H, W) == (h, w):
         return x
+    if h == 2 * H and w == 2 * W:
+        x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
+        return x.reshape(B, h, w, C)
+    if H == 2 * h and W == 2 * w:
+        return x[:, ::2, ::2]
     rows = (jnp.arange(h) * (H / h)).astype(jnp.int32)
     cols = (jnp.arange(w) * (W / w)).astype(jnp.int32)
     return x[:, rows][:, :, cols]
@@ -34,7 +44,11 @@ def _resize_nearest(x: jax.Array, hw) -> jax.Array:
 
 class DepthwiseSeparableConvBlock(nn.Module):
     """Depthwise conv + pointwise conv + BN + ReLU (kernel 1x1 by default,
-    as in the reference's BiFPNDepthwiseConvBlock)."""
+    as in the reference's BiFPNDepthwiseConvBlock).
+
+    A 1x1 depthwise conv is mathematically a per-channel scale; grouped convs
+    with groups == channels do not map to the MXU, so the kernel==1 case is
+    lowered to an explicit channel-wise multiply (identical math, VPU op)."""
 
     features: int
     kernel: int = 1
@@ -42,15 +56,25 @@ class DepthwiseSeparableConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        pad = self.kernel // 2
-        x = nn.Conv(
-            x.shape[-1],
-            (self.kernel, self.kernel),
-            padding=[(pad, pad), (pad, pad)],
-            feature_group_count=x.shape[-1],
-            use_bias=False,
-            dtype=self.dtype,
-        )(x)
+        C = x.shape[-1]
+        if self.kernel == 1:
+            scale = self.param(
+                "depthwise_scale",
+                nn.initializers.lecun_normal(),
+                (1, C),
+                jnp.float32,
+            )
+            x = x * scale[0].astype(self.dtype)
+        else:
+            pad = self.kernel // 2
+            x = nn.Conv(
+                C,
+                (self.kernel, self.kernel),
+                padding=[(pad, pad), (pad, pad)],
+                feature_group_count=C,
+                use_bias=False,
+                dtype=self.dtype,
+            )(x)
         x = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
         x = nn.BatchNorm(
             use_running_average=not train,

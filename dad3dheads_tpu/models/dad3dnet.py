@@ -22,6 +22,7 @@ from typing import Any, Dict, Optional, Sequence
 
 import flax.linen as nn
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..constants import (
@@ -33,30 +34,36 @@ from .bifpn import BiFPN
 from .resnet import ENCODER_CHANNELS, ResNet50Stages
 
 
+def _interp_matrix(dst: int, src: int) -> np.ndarray:
+    """(dst, src) align_corners=True bilinear interpolation matrix."""
+    m = np.zeros((dst, src), np.float32)
+    if dst == 1:
+        m[0, 0] = 1.0
+        return m
+    pos = np.arange(dst) * ((src - 1) / (dst - 1))
+    lo = np.clip(np.floor(pos).astype(int), 0, src - 1)
+    hi = np.clip(lo + 1, 0, src - 1)
+    frac = (pos - lo).astype(np.float32)
+    m[np.arange(dst), lo] += 1.0 - frac
+    m[np.arange(dst), hi] += frac
+    return m
+
+
 def resize_bilinear_align_corners(x: jax.Array, hw) -> jax.Array:
     """Bilinear resize with align_corners=True semantics (torch
-    F.interpolate(..., mode='bilinear', align_corners=True))."""
+    F.interpolate(..., mode='bilinear', align_corners=True)).
+
+    Bilinear interpolation is separable, so it lowers to two small dense
+    matmuls with static weight matrices — MXU work instead of 4 gathers."""
     B, H, W, C = x.shape
     h, w = hw
     if (H, W) == (h, w):
         return x
-
-    def grid(dst, src):
-        if dst == 1:
-            return jnp.zeros((1,), jnp.float32)
-        return jnp.arange(dst, dtype=jnp.float32) * ((src - 1) / (dst - 1))
-
-    ys, xs = grid(h, H), grid(w, W)
-    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, H - 1)
-    y1 = jnp.clip(y0 + 1, 0, H - 1)
-    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 1)
-    x1 = jnp.clip(x0 + 1, 0, W - 1)
-    wy = (ys - y0.astype(jnp.float32))[None, :, None, None]
-    wx = (xs - x0.astype(jnp.float32))[None, None, :, None]
-
-    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
-    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
-    return top * (1 - wy) + bot * wy
+    wy = jnp.asarray(_interp_matrix(h, H))  # (h, H)
+    wx = jnp.asarray(_interp_matrix(w, W))  # (w, W)
+    out = jnp.einsum("hH,bHWc->bhWc", wy, x.astype(jnp.float32))
+    out = jnp.einsum("wW,bhWc->bhwc", wx, out)
+    return out.astype(x.dtype)
 
 
 class ClassificationHead(nn.Module):
@@ -145,6 +152,32 @@ class DAD3DNet(nn.Module):
             OUTPUT_3DMM_PARAMS: jnp.concatenate([shape, pose], axis=-1),
             OUTPUT_2D_LANDMARKS: landmarks,
         }
+
+
+def load_model(
+    config: Optional[Dict[str, Any]] = None,
+    checkpoint_path: Optional[str] = None,
+    img_size: int = 256,
+    rng_seed: int = 0,
+):
+    """Model factory: build + init (+ optional checkpoint load).
+
+    The reference's hydra-instantiate factory equivalent
+    (/root/reference/model_training/model/__init__.py:6-11). Returns
+    (model, variables)."""
+    import jax
+
+    model = create_model(config)
+    x = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
+    variables = jax.jit(lambda r: model.init(r, x, train=False))(
+        jax.random.PRNGKey(rng_seed)
+    )
+    if checkpoint_path:
+        from flax import serialization
+
+        with open(checkpoint_path, "rb") as f:
+            variables = serialization.from_bytes(variables, f.read())
+    return model, variables
 
 
 _DTYPES = {"float32": jnp.float32, "fp32": jnp.float32, "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}

@@ -37,17 +37,21 @@ logger = logging.getLogger(__name__)
 
 
 class MetricAccumulator:
+    """Accumulates per-step metric scalars ON DEVICE (async adds); the host
+    fetch happens once in ``means()`` — one sync per epoch instead of one per
+    step per metric (which is ruinous over a remote TPU attachment)."""
+
     def __init__(self):
-        self._sums: Dict[str, float] = {}
+        self._sums: Dict[str, jax.Array] = {}
         self._n = 0
 
     def add(self, logs: Dict[str, jax.Array]) -> None:
         self._n += 1
         for k, v in logs.items():
-            self._sums[k] = self._sums.get(k, 0.0) + float(v)
+            self._sums[k] = v if k not in self._sums else self._sums[k] + v
 
     def means(self) -> Dict[str, float]:
-        return {k: v / max(self._n, 1) for k, v in self._sums.items()}
+        return {k: float(v) / max(self._n, 1) for k, v in self._sums.items()}
 
 
 class Trainer:
@@ -68,6 +72,11 @@ class Trainer:
         self.val_loader = val_loader
         self.flame = flame if flame is not None else FlameModel.load()
         self.mesh = mesh if mesh is not None else local_data_parallel_mesh()
+
+        if config.get("debug_nans"):
+            from ..utils import enable_nan_debugging
+
+            enable_nan_debugging()
 
         self.img_size = int(config.get("img_size", 256))
         self.max_epochs = int(config.get("max_epochs", 100))
@@ -175,6 +184,7 @@ class Trainer:
         lr_mult = 1.0
 
         start_epoch = int(state.epoch)
+        host_step = int(state.step)  # host mirror: no per-step device fetch
         for epoch in range(start_epoch, self.max_epochs):
             state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
             t0 = time.time()
@@ -182,8 +192,9 @@ class Trainer:
             n_batches = 0
             for batch in self.train_loader:
                 sched_factor = (
-                    float(self.schedule(int(state.step))) if self.schedule else 1.0
+                    float(self.schedule(host_step)) if self.schedule else 1.0
                 )
+                host_step += 1
                 state, logs = self.train_step(
                     state,
                     flame,

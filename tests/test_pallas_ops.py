@@ -35,3 +35,13 @@ def test_fused_blendshapes_cpu_dispatch(rng):
     assert out.shape == (B, V, 3)
     manual = np.asarray(betas) @ np.asarray(dirs) + np.asarray(template).reshape(-1)
     np.testing.assert_allclose(np.asarray(out).reshape(B, -1), manual, atol=1e-4)
+
+
+def test_normalize_images_pallas_interpret(rng):
+    from dad3dheads_tpu.ops.preprocess import normalize_batch_jax
+    from dad3dheads_tpu.ops.preprocess_pallas import normalize_images_pallas
+
+    imgs = jnp.asarray((rng.uniform(size=(2, 32, 128, 3)) * 255).astype(np.uint8))
+    out = normalize_images_pallas(imgs, interpret=True)
+    ref = normalize_batch_jax(imgs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
