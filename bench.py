@@ -76,7 +76,9 @@ def main() -> None:
             def body(i, carry):
                 imgs, acc = carry
                 v, proj, lms = pipeline(variables, flame, embedding, imgs)
-                chk = jnp.mean(lms)
+                # consume every output so XLA cannot dead-code-eliminate the
+                # mesh / reprojection branches inside the loop
+                chk = jnp.mean(lms) + 1e-20 * (jnp.sum(v[:, 0]) + jnp.sum(proj[:, 0]))
                 # data dependency between iterations so XLA cannot collapse
                 # the loop; a single-element in-place update (the loop carry
                 # aliases, so this is not a full-buffer copy) with a

@@ -189,3 +189,17 @@ class FaceMeshPredictor:
     def dad_3dnet(cls, checkpoint_path: Optional[str] = None) -> "FaceMeshPredictor":
         """The flagship predictor (reference: FaceMeshPredictor.dad_3dnet)."""
         return cls(DEFAULT_CONFIG, checkpoint_path=checkpoint_path)
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "FaceMeshPredictor":
+        """Build from a predictor config yaml (configs/dad_3dnet.yaml)."""
+        import yaml
+
+        with open(path) as f:
+            config = yaml.safe_load(f)
+        ckpt = config.pop("checkpoint", None)
+        if ckpt:
+            ckpt = os.path.expanduser(ckpt)
+            if not os.path.isfile(ckpt):
+                ckpt = None
+        return cls(config, checkpoint_path=ckpt)

@@ -46,7 +46,7 @@ def blend_shapes_fused_pallas(
     """
     B, L = betas.shape
     N = shapedirs_flat.shape[1]
-    TB = min(128, max(8, B))
+    TB = B if B <= 128 else next(t for t in (128, 64, 32, 16, 8) if B % t == 0)
     TN = 512
     assert N % TN == 0, (N, TN)
     assert B % TB == 0, (B, TB)
@@ -69,6 +69,30 @@ def blend_shapes_fused_pallas(
             transcendentals=0,
         ),
     )(betas.astype(jnp.float32), shapedirs_flat, v_template_flat[None, :])
+
+
+# pallas_call has no autodiff rule; the kernel computes a plain affine map,
+# so the exact VJP is two matmuls + a reduction (training differentiates
+# through the FLAME decode via the losses).
+@jax.custom_vjp
+def _fused_flat(betas_p: jax.Array, dirs: jax.Array, tmpl: jax.Array) -> jax.Array:
+    return blend_shapes_fused_pallas(betas_p, dirs, tmpl)
+
+
+def _fused_flat_fwd(betas_p, dirs, tmpl):
+    return _fused_flat(betas_p, dirs, tmpl), (betas_p, dirs)
+
+
+def _fused_flat_bwd(res, g):
+    betas_p, dirs = res
+    hi = jax.lax.Precision.HIGHEST
+    d_betas = jnp.dot(g, dirs.T, precision=hi, preferred_element_type=jnp.float32)
+    d_dirs = jnp.dot(betas_p.T, g, precision=hi, preferred_element_type=jnp.float32)
+    d_tmpl = jnp.sum(g, axis=0)
+    return d_betas, d_dirs, d_tmpl
+
+
+_fused_flat.defvjp(_fused_flat_fwd, _fused_flat_bwd)
 
 
 def blend_shapes_fused(
@@ -98,7 +122,9 @@ def blend_shapes_fused(
     pad = (-N) % 512
     dirs = jnp.pad(shapedirs_flat, ((0, 0), (0, pad)))
     tmpl = jnp.pad(v_template.reshape(-1), (0, pad))
-    pad_b = (-B) % 8
+    # pad the batch to a multiple of 8 sublanes; any >128 batch also needs to
+    # tile evenly, so round up to the next multiple of 128 in that case
+    pad_b = (-B) % (8 if B <= 128 else 128)
     betas_p = jnp.pad(betas, ((0, pad_b), (0, 0)))
-    out = blend_shapes_fused_pallas(betas_p, dirs, tmpl)
+    out = _fused_flat(betas_p, dirs, tmpl)
     return out[:B, :N].reshape(B, V, 3)

@@ -183,6 +183,25 @@ class Trainer:
         rng = jax.random.PRNGKey(int(self.config.get("seed", 0)) + 1)
         lr_mult = 1.0
 
+        # Preemption safety (TPU pods are preemptible): on SIGTERM/SIGINT,
+        # finish the current step, save 'last', and exit cleanly so
+        # ``fit(resume=True)`` continues from it. The reference has no
+        # preemption handling at all (SURVEY.md §5).
+        import signal
+
+        preempted = {"flag": False}
+
+        def _on_signal(signum, frame):
+            logger.warning("signal %d received — checkpointing and stopping", signum)
+            preempted["flag"] = True
+
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _on_signal)
+            except ValueError:  # non-main thread
+                pass
+
         start_epoch = int(state.epoch)
         host_step = int(state.step)  # host mirror: no per-step device fetch
         for epoch in range(start_epoch, self.max_epochs):
@@ -204,6 +223,12 @@ class Trainer:
                 )
                 acc.add(logs)
                 n_batches += 1
+                if preempted["flag"]:
+                    break
+            if preempted["flag"]:
+                self.ckpt.save(state, epoch, {})
+                logger.info("preemption checkpoint saved at step %d", host_step)
+                break
             train_metrics = {f"train/{k}": v for k, v in acc.means().items()}
 
             val_metrics: Dict[str, float] = {}
@@ -240,6 +265,9 @@ class Trainer:
             ):
                 logger.info("early stopping at epoch %d", epoch)
                 break
+
+        for sig, handler in old_handlers.items():
+            signal.signal(sig, handler)
 
         # export best (or last) for inference
         export_path = self.ckpt.export_inference(state)

@@ -144,13 +144,15 @@ def build_train_step(
     warmup_steps: int = 0,
     flame_constants: Optional[Dict[str, int]] = None,
     with_metrics: bool = True,
+    jit: bool = True,
 ) -> Callable:
     """Returns jitted ``train_step(state, flame, batch, rng, lr_mult)`` ->
     (new_state, logs). ``lr_mult`` is the host-side plateau multiplier (1.0
-    when unused); linear warmup is applied inside from ``state.step``."""
+    when unused); linear warmup is applied inside from ``state.step``.
+    ``jit=False`` returns the raw traceable function (for embedding in an
+    outer jit, e.g. a benchmark loop)."""
     common = _StepCommon(model, loss_module, img_size, flame_constants)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(
         state: TrainState,
         flame: FlameModel,
@@ -189,6 +191,8 @@ def build_train_step(
         logs["grad_norm"] = optax.global_norm(grads)
         return new_state, logs
 
+    if jit:
+        return jax.jit(train_step, donate_argnums=(0,))
     return train_step
 
 

@@ -73,3 +73,11 @@ def test_logger_and_yaml(tmp_path):
     log.info("hello")
     (tmp_path / "x.yaml").write_text("a: 1\n")
     assert load_yaml(str(tmp_path / "x.yaml")) == {"a": 1}
+
+
+def test_predictor_from_yaml():
+    from dad3dheads_tpu.api.predictor import FaceMeshPredictor
+
+    p = FaceMeshPredictor.from_yaml("configs/dad_3dnet.yaml")
+    assert p._img_size == 256 and p._stride == 4
+    assert p.flame_constants["shape"] == 300
