@@ -49,6 +49,37 @@ DEFAULT_CONFIG: Dict[str, Any] = {
 }
 
 
+def model_exists(filename: str = _CKPT_FILE) -> bool:
+    return os.path.isfile(os.path.join(_CKPT_DIR, filename))
+
+
+def download_model(url: str, retries: int = 5, filename: str = _CKPT_FILE) -> str:
+    """Download a published checkpoint into the cache dir with retries
+    (reference parity: predictor.py:29-65; uses urllib, no extra deps)."""
+    import time
+    import urllib.request
+
+    os.makedirs(_CKPT_DIR, exist_ok=True)
+    path = os.path.join(_CKPT_DIR, filename)
+    assert retries >= 0, "Number of retries should be at least 0"
+    last_err: Optional[Exception] = None
+    for attempt in range(retries + 1):
+        try:
+            logger.info("downloading %s from %s (attempt %d)", path, url, attempt + 1)
+            with urllib.request.urlopen(url) as r, open(path, "wb") as f:
+                while True:
+                    chunk = r.read(1 << 20)
+                    if not chunk:
+                        break
+                    f.write(chunk)
+            return path
+        except Exception as e:  # noqa: BLE001 — network errors are retryable
+            last_err = e
+            if attempt < retries:
+                time.sleep(min(2**attempt, 30))
+    raise RuntimeError(f"failed downloading {url}") from last_err
+
+
 def save_predictor_checkpoint(variables, path: Optional[str] = None) -> str:
     """Serialize model variables (params + batch_stats) to msgpack."""
     from flax import serialization

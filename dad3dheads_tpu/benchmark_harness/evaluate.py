@@ -261,6 +261,12 @@ def print_evaluation_results(overall: Dict[str, float], attributes: Dict[str, An
                 print(f"    {value:16} {mean:.6f}")
 
 
+def print_evaluation_summary(overall: Dict[str, float], attributes: Dict[str, Any]) -> None:
+    """One-line summary view (the reference's compact printer)."""
+    parts = [f"{k}={v:.4f}" for k, v in overall.items()]
+    print("DAD-3DHeads: " + "  ".join(parts))
+
+
 def evaluate(submission_path: str, gt_path: str) -> Dict[str, float]:
     overall, attrs = DADEvaluator(gt_path, submission_path)()
     print_evaluation_results(overall, attrs)

@@ -33,15 +33,12 @@ from ..constants import (
     IMAGE_FILENAME_KEY,
     INPUT_BBOX_KEY,
     INPUT_IMAGE_KEY,
-    INPUT_SIZE_KEY,
     SAMPLE_INDEX_KEY,
     TARGET_2D_FULL_LANDMARKS,
     TARGET_2D_LANDMARKS,
     TARGET_2D_LANDMARKS_PRESENCE,
     TARGET_3D_MODEL_VERTICES,
     TARGET_LANDMARKS_HEATMAP,
-    TARGET_PROJECTION_MATRIX,
-    TARGET_3D_WORLD_VERTICES,
 )
 from .. import assets
 from ..ops.preprocess import preprocess_image_np, transform_keypoints_np

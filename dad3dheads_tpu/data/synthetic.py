@@ -13,7 +13,7 @@ Everything is jittable; use ``make_batch_fn`` to get a jitted generator.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ the whole aggregator stays inside one jit.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, NamedTuple, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +30,6 @@ from flax import struct
 from .. import assets
 from ..constants import (
     OUTPUT_2D_LANDMARKS,
-    OUTPUT_3DMM_PARAMS,
     OUTPUT_LANDMARKS_HEATMAP,
     TARGET_2D_FULL_LANDMARKS,
     TARGET_2D_LANDMARKS,

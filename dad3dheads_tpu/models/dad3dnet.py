@@ -18,7 +18,7 @@ Layout is NHWC throughout; the heatmap output is (B, H, W, 68).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax

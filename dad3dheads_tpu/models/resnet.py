@@ -12,7 +12,7 @@ follow the input dtype).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List
 
 import flax.linen as nn
 import jax

@@ -12,7 +12,7 @@ layers can be tensor-sharded without API changes.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -12,7 +12,6 @@ interpolation of config references.
 
 from __future__ import annotations
 
-import copy
 import datetime
 import os
 import re

@@ -17,7 +17,6 @@ Two kinds here:
 
 from __future__ import annotations
 
-import math
 from typing import Any, Callable, Dict, Optional
 
 import optax

@@ -7,7 +7,7 @@ jit-donatable, orbax-serializable, NamedSharding-annotatable pytree.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
