@@ -69,9 +69,11 @@ def main() -> None:
         return v, proj[..., :2], lms
 
     def looped(n_iters):
+        in_dtype = jnp.bfloat16 if DTYPE in ("bf16", "bfloat16") else jnp.float32
+
         @jax.jit
         def run(variables, flame, embedding, seed):
-            images = jax.random.normal(seed, (BATCH, 256, 256, 3), jnp.float32)
+            images = jax.random.normal(seed, (BATCH, 256, 256, 3), in_dtype)
 
             def body(i, carry):
                 imgs, acc = carry
@@ -83,7 +85,7 @@ def main() -> None:
                 # the loop; a single-element in-place update (the loop carry
                 # aliases, so this is not a full-buffer copy) with a
                 # below-fp32-resolution perturbation
-                imgs = imgs.at[0, 0, 0, 0].add(chk * 1e-30)
+                imgs = imgs.at[0, 0, 0, 0].add((chk * 1e-30).astype(imgs.dtype))
                 return imgs, acc + chk
 
             _, acc = jax.lax.fori_loop(0, n_iters, body, (images, jnp.zeros(())))

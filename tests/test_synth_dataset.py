@@ -1,0 +1,106 @@
+"""End-to-end: rendered synthetic dataset -> real data pipeline -> benchmark
+ground truth. Validates that the generator's annotation geometry is
+consistent with what FlameDataset and the benchmark harness compute."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("synth"))
+    env = dict(os.environ, DAD3D_PLATFORM="cpu")
+    subprocess.run(
+        [
+            sys.executable,
+            "tools/make_synthetic_dataset.py",
+            "--out",
+            out,
+            "--subset",
+            "val",
+            "--num",
+            "3",
+        ],
+        check=True,
+        env=env,
+        capture_output=True,
+    )
+    return out
+
+
+def test_dataset_loads_rendered_data(synth_root):
+    from dad3dheads_tpu.constants import (
+        INPUT_IMAGE_KEY,
+        TARGET_2D_LANDMARKS,
+        TARGET_2D_LANDMARKS_PRESENCE,
+        TARGET_LANDMARKS_HEATMAP,
+    )
+    from dad3dheads_tpu.data.dataset import FlameDataset
+
+    base = os.path.join(synth_root, "DAD-3DHeadsDataset", "val")
+    ds = FlameDataset.from_config(
+        {
+            "ann_path": os.path.join(base, "val.json"),
+            "dataset_root": base,
+            "img_size": 256,
+            "stride": 4,
+            "num_classes": 68,
+            "keypoints": {"2d_subset_name": "multipie_keypoints"},
+            "transform": {"normalize": "imagenet"},
+        }
+    )
+    item = ds[0]
+    assert item is not None
+    assert item[INPUT_IMAGE_KEY].shape == (256, 256, 3)
+    # the rendered head is within the bbox crop: most landmarks present
+    presence = np.asarray(item[TARGET_2D_LANDMARKS_PRESENCE])
+    assert presence.mean() > 0.8, presence.mean()
+    lms = np.asarray(item[TARGET_2D_LANDMARKS])
+    assert lms.min() >= -0.05 and lms.max() <= 1.05
+    assert int(np.asarray(item[TARGET_LANDMARKS_HEATMAP]).max()) == 255
+
+
+def test_generate_gt_and_perfect_eval(synth_root, tmp_path):
+    """generate_gt folds the synthetic annotations; a GT-derived submission
+    scores perfectly — the complete reference acceptance workflow."""
+    import jax.numpy as jnp
+
+    from dad3dheads_tpu.benchmark_harness import DADEvaluator, generate_gt
+    from dad3dheads_tpu.benchmark_harness.evaluate import SEVEN_LMK_INDICES, HeadAnnotation
+
+    gt_path = generate_gt(synth_root, "val", output_dir=str(tmp_path))
+    with open(gt_path) as f:
+        gt = json.load(f)
+    assert len(gt) == 3 and gt[0]["image_height"] == 256
+
+    ev = DADEvaluator(gt_path, gt_path)  # submission path replaced below
+    submission = {}
+    for cfg in gt:
+        a = HeadAnnotation.from_config(cfg)
+        g68 = ev.gt_landmarks_68_2d(a)
+        world = a.vertices3d_world_homo[:, :3]
+        lms = ev._landmarks68_3d(world)
+        svn = lms[SEVEN_LMK_INDICES]
+        scale = 20.0 / np.linalg.norm(svn[1] - svn[2])
+        scaled = world * scale
+        svn_scaled = ev._landmarks68_3d(scaled)[SEVEN_LMK_INDICES]
+        submission[cfg["id"]] = {
+            "68_landmarks_2d": g68.tolist(),
+            "N_landmarks_3d": (-scaled).tolist(),
+            "7_landmarks_3d": (-svn_scaled).tolist(),
+            "rotation_matrix": ev.get_gt_rot_mat(a).tolist(),
+        }
+    sub_path = str(tmp_path / "sub.json")
+    with open(sub_path, "w") as f:
+        json.dump(submission, f)
+
+    overall, _ = DADEvaluator(gt_path, sub_path)()
+    assert overall["nme_reprojection"] == pytest.approx(0.0, abs=1e-3)
+    assert overall["pose_error"] == pytest.approx(0.0, abs=1e-4)
+    assert overall["z5_accuracy"] == pytest.approx(1.0, abs=1e-6)
+    assert overall["chamfer"] == pytest.approx(0.0, abs=5e-3)
