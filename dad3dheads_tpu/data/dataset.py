@@ -104,6 +104,9 @@ class FlameDataset:
         self.stride = int(config.get("stride", 4))
         self.num_classes = int(config.get("num_classes", 68))
         self.normalize = config.get("transform", {}).get("normalize", "imagenet")
+        # uint8 output defers normalization to the device (4x cheaper
+        # host->device transfer; the train step normalizes on chip)
+        self.output_uint8 = bool(config.get("output_uint8", False))
         kp_cfg = config.get("keypoints", {}) or {}
         subset_name = kp_cfg.get("2d_subset_name", "multipie_keypoints")
         if subset_name == "multipie_keypoints":
@@ -181,7 +184,10 @@ class FlameDataset:
                 (lms_2d[:, 0] > 0) & (lms_2d[:, 0] < w) & (lms_2d[:, 1] > 0) & (lms_2d[:, 1] < h)
             )
 
-            tensor, scale, pads = preprocess_image_np(crop, self.img_size, self.normalize)
+            norm = "none" if self.output_uint8 else self.normalize
+            tensor, scale, pads = preprocess_image_np(crop, self.img_size, norm)
+            if self.output_uint8:
+                tensor = np.clip(tensor * 255.0 + 0.5, 0, 255).astype(np.uint8)
             lms_t = transform_keypoints_np(lms_2d, scale, pads)
             full_t = transform_keypoints_np(full_2d, scale, pads)
 

@@ -51,11 +51,18 @@ from .state import TrainState
 
 def _prepare_targets(batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
     """Device-side input normalization (the reference's KeypointsDataMixin
-    .get_input: uint8 heatmap -> fp32 in [0, 1])."""
+    .get_input: uint8 heatmap -> fp32 in [0, 1]). Images may arrive uint8
+    (4x cheaper host->device transfer); ImageNet normalization then runs on
+    device."""
     targets = dict(batch)
     hm = targets[TARGET_LANDMARKS_HEATMAP]
     if hm.dtype == jnp.uint8:
         targets[TARGET_LANDMARKS_HEATMAP] = hm.astype(jnp.float32) / 255.0
+    img = targets[INPUT_IMAGE_KEY]
+    if img.dtype == jnp.uint8:
+        from ..ops.preprocess import normalize_batch_jax
+
+        targets[INPUT_IMAGE_KEY] = normalize_batch_jax(img)
     targets[TARGET_2D_LANDMARKS_PRESENCE] = targets[TARGET_2D_LANDMARKS_PRESENCE].astype(
         jnp.float32
     )
