@@ -36,6 +36,10 @@ def predictions_to_submission_entry(
     off = flame_param_offset("rotation")
     rot6 = np.asarray(predictions["3dmm_params"])[:, off : off + 6]
     R = np.asarray(rot_mat_from_6dof(jnp.asarray(rot6)))[0]
+    # camera convention: the evaluator compares against the 180-degree
+    # x-flipped GT model-view (benchmark get_gt_rot_mat), so the predicted
+    # model-space rotation is emitted in that frame
+    R = np.diag([1.0, -1.0, -1.0]).astype(np.float32) @ R
     verts_cam = (verts * np.array([1.0, 1.0, -1.0], np.float32)).tolist()
     svn_cam = (lms3d[SEVEN_LMK_INDICES] * np.array([1.0, 1.0, -1.0], np.float32)).tolist()
     return {

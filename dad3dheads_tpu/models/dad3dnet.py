@@ -129,9 +129,12 @@ class DAD3DNet(nn.Module):
             name="heatmap_head",
         )
         self.fusion = FusionLayer(ch["layer1"], dtype=self.dtype)
-        self.shape_head = ClassificationHead(self.shape_output_size, dtype=self.dtype)
-        self.pose_head = ClassificationHead(self.pose_output_size, dtype=self.dtype)
-        self.landmarks_head = ClassificationHead(self.num_classes * 2, dtype=self.dtype)
+        # regression heads always run fp32: bf16 resolution (~0.4% relative)
+        # is about one pixel of landmark error at 256^2 — unacceptable for
+        # the regression outputs while irrelevant for the conv trunk
+        self.shape_head = ClassificationHead(self.shape_output_size, dtype=jnp.float32)
+        self.pose_head = ClassificationHead(self.pose_output_size, dtype=jnp.float32)
+        self.landmarks_head = ClassificationHead(self.num_classes * 2, dtype=jnp.float32)
 
     def __call__(self, x: jax.Array, train: bool = False) -> Dict[str, jax.Array]:
         feats = self.encoder.stages_backbone(x, train)  # stages 0..3
@@ -141,6 +144,7 @@ class DAD3DNet(nn.Module):
         fmap = self.fusion(feats[-1], heatmap, pyramid[2], train)
         fmap = self.encoder.final_stage(fmap, train)
 
+        fmap = fmap.astype(jnp.float32)
         shape = jnp.tanh(self.shape_head(fmap, train)) * self.limit_value
         pose = self.pose_head(fmap, train)
         landmarks = nn.relu(self.landmarks_head(fmap, train))
@@ -148,7 +152,7 @@ class DAD3DNet(nn.Module):
         landmarks = landmarks.reshape(B, self.num_classes, 2)
 
         return {
-            OUTPUT_LANDMARKS_HEATMAP: heatmap,
+            OUTPUT_LANDMARKS_HEATMAP: heatmap.astype(jnp.float32),
             OUTPUT_3DMM_PARAMS: jnp.concatenate([shape, pose], axis=-1),
             OUTPUT_2D_LANDMARKS: landmarks,
         }

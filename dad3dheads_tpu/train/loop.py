@@ -269,7 +269,15 @@ class Trainer:
         for sig, handler in old_handlers.items():
             signal.signal(sig, handler)
 
-        # export best (or last) for inference
-        export_path = self.ckpt.export_inference(state)
+        # export the best checkpoint (by the monitored metric) for inference,
+        # falling back to the final state (reference exports the best too —
+        # trainer.py:47-52)
+        export_state = state
+        if self.ckpt.best is not None:
+            try:
+                export_state = self.ckpt.restore(state)
+            except (FileNotFoundError, OSError):
+                pass
+        export_path = self.ckpt.export_inference(export_state)
         logger.info("exported inference checkpoint to %s", export_path)
         return state

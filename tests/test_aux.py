@@ -62,6 +62,9 @@ def test_submission_entry_schema(rng):
     assert np.asarray(entry["7_landmarks_3d"]).shape == (7, 3)
     R = np.asarray(entry["rotation_matrix"])
     np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+    # camera convention: 180-degree x-flip of the model-space rotation
+    # (identity 6dof here), matching the evaluator's GT frame
+    np.testing.assert_allclose(R, np.diag([1.0, -1.0, -1.0]), atol=1e-5)
     # camera convention: z negated relative to model space
     np.testing.assert_allclose(
         np.asarray(entry["N_landmarks_3d"])[:, 2], -preds["3d_vertices"][:, 2] * 1.0, atol=1e-6
