@@ -33,6 +33,15 @@ def predictions_to_submission_entry(
     emb = embedding if embedding is not None else LandmarkEmbedding.load()
     verts = np.asarray(predictions["3d_vertices"], np.float32)
     lms3d = np.asarray(get_68_landmarks(jnp.asarray(verts)[None], emb))[0]
+
+    # The scored metric is *reprojection* NME: the 68 2D landmarks come from
+    # the barycentric embedding of the reprojected mesh (the embedding is
+    # linear, so it commutes with the projection), not the heatmap argmax.
+    proj = np.asarray(predictions["projected_vertices"], np.float32)
+    if proj.ndim == 3:
+        proj = proj[0]
+    proj3 = np.concatenate([proj[:, :2], np.zeros_like(proj[:, :1])], axis=1)
+    lms2d = np.asarray(get_68_landmarks(jnp.asarray(proj3)[None], emb))[0][:, :2]
     off = flame_param_offset("rotation")
     rot6 = np.asarray(predictions["3dmm_params"])[:, off : off + 6]
     R = np.asarray(rot_mat_from_6dof(jnp.asarray(rot6)))[0]
@@ -43,7 +52,7 @@ def predictions_to_submission_entry(
     verts_cam = (verts * np.array([1.0, 1.0, -1.0], np.float32)).tolist()
     svn_cam = (lms3d[SEVEN_LMK_INDICES] * np.array([1.0, 1.0, -1.0], np.float32)).tolist()
     return {
-        "68_landmarks_2d": np.asarray(predictions["points"], np.float32).tolist(),
+        "68_landmarks_2d": lms2d.tolist(),
         "N_landmarks_3d": verts_cam,
         "7_landmarks_3d": svn_cam,
         "rotation_matrix": R.tolist(),

@@ -113,7 +113,12 @@ class FlameDataset:
             self.keypoint_indices = None  # 68 barycentric landmarks
         else:
             self.keypoint_indices = assets.load_keypoint_subset(subset_name)
-        self.coder = HeatmapCoder(self.img_size, self.stride, num_classes=self.num_classes)
+        self.coder = HeatmapCoder(
+            self.img_size,
+            self.stride,
+            radius=int(config.get("radius", 5)),
+            num_classes=self.num_classes,
+        )
         self.train_mode = bool(config.get("train_mode", True))
         self._rng = np.random.default_rng(config.get("seed", 0))
         # lazy torch-free landmark evaluation on host

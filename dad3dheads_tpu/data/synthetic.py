@@ -35,7 +35,12 @@ from ..ops.heatmap import encode_heatmap
 
 
 def random_3dmm(rng: jax.Array, batch: int, dtype=jnp.float32) -> jax.Array:
-    """Plausible random packed 3DMM vectors (rotation near identity)."""
+    """Plausible random packed 3DMM vectors (rotation near identity).
+
+    The weak-perspective scale parameter is sampled around 4 (decoded scale
+    ~5) so the ~0.22-unit head spans most of the [-1, 1] image frame — the
+    regime real face crops live in; near-zero scale renders a head a few
+    pixels wide."""
     k1, k2, k3, k4 = jax.random.split(rng, 4)
     n = total_3dmm_size()
     x = jax.random.normal(k1, (batch, n), dtype) * 0.1
@@ -43,8 +48,9 @@ def random_3dmm(rng: jax.Array, batch: int, dtype=jnp.float32) -> jax.Array:
     base_rot = jnp.asarray([1.0, 0, 0, 0, 1.0, 0], dtype)
     rot = base_rot + jax.random.normal(k2, (batch, 6), dtype) * 0.1
     x = x.at[:, 403:409].set(rot)
-    x = x.at[:, 409:412].set(jax.random.normal(k3, (batch, 3), dtype) * 0.05)  # translation
-    x = x.at[:, 412:413].set(jax.random.normal(k4, (batch, 1), dtype) * 0.1)  # scale
+    x = x.at[:, 409:412].set(jax.random.normal(k3, (batch, 3), dtype) * 0.1)  # translation
+    scale = 4.0 + jax.random.normal(k4, (batch, 1), dtype) * 0.7
+    x = x.at[:, 412:413].set(jnp.clip(scale, 2.5, 6.0))
     return x
 
 

@@ -52,11 +52,16 @@ def test_panel_and_grid(rng):
 def test_submission_entry_schema(rng):
     preds = {
         "points": rng.uniform(0, 256, size=(68, 2)).astype(np.float32),
+        "projected_vertices": rng.uniform(0, 256, size=(1, 5023, 2)).astype(np.float32),
         "3d_vertices": rng.normal(size=(5023, 3)).astype(np.float32) * 0.1,
         "3dmm_params": np.zeros((1, 413), np.float32),
     }
     preds["3dmm_params"][0, 403:409] = [1, 0, 0, 0, 1, 0]
     entry = predictions_to_submission_entry(preds)
+    lms2d = np.asarray(entry["68_landmarks_2d"])
+    assert lms2d.shape == (68, 2)
+    # mesh-derived 2D landmarks live within the projected-vertex range
+    assert lms2d.min() >= -1 and lms2d.max() <= 257
     assert set(entry) == {"68_landmarks_2d", "N_landmarks_3d", "7_landmarks_3d", "rotation_matrix"}
     assert np.asarray(entry["N_landmarks_3d"]).shape == (5023, 3)
     assert np.asarray(entry["7_landmarks_3d"]).shape == (7, 3)

@@ -114,3 +114,29 @@ def test_heatmap_to_keypoints():
     kp = np.asarray(heatmap_to_keypoints(jnp.asarray(hm), stride=4))
     np.testing.assert_array_equal(kp[0, 0], [80, 40])  # xy * stride
     np.testing.assert_array_equal(kp[0, 67], [28, 20])
+
+
+def test_calculate_rpy_matches_scipy(rng):
+    """RPY extraction parity with the reference's scipy-based math
+    (flame.py:254-259: transpose, xyz-euler degrees, remap + limit)."""
+    import jax.numpy as jnp
+    from scipy.spatial.transform import Rotation
+
+    from dad3dheads_tpu.core.rotation import calculate_rpy, rot_mat_from_6dof
+
+    v6 = rng.normal(size=(5, 6)).astype(np.float32)
+    rpy = calculate_rpy(jnp.asarray(v6))
+    R = np.asarray(rot_mat_from_6dof(jnp.asarray(v6)))
+    for i in range(5):
+        ang = Rotation.from_matrix(R[i].T).as_euler("xyz", degrees=True)
+
+        def limit(a):
+            while a > 180:
+                a -= 360
+            while a < -180:
+                a += 360
+            return a
+
+        assert float(rpy.roll[i]) == pytest.approx(limit(ang[2]), abs=1e-3)
+        assert float(rpy.pitch[i]) == pytest.approx(limit(ang[0] - 180), abs=1e-3)
+        assert float(rpy.yaw[i]) == pytest.approx(limit(ang[1]), abs=1e-3)

@@ -55,7 +55,20 @@ def evaluate_checkpoint(work, img, ckpt_path, gt_path, tag):
     submission = {}
     for el in items:
         image = read_as_rgb(os.path.join(base, el["img_path"]))
-        preds = predictor(image)
+        # predict on the (extended) head bbox crop — the distribution the
+        # network is trained on — then shift 2D outputs back to image coords
+        from dad3dheads_tpu.data.bbox import ensure_bbox_boundaries, extend_bbox
+
+        x, y, w, h = ensure_bbox_boundaries(
+            extend_bbox(np.asarray(el["bbox"]), 0.1), image.shape[:2]
+        )
+        crop = image[y : y + h, x : x + w] if w > 4 and h > 4 else image
+        preds = predictor(crop)
+        if w > 4 and h > 4:
+            preds["projected_vertices"] = preds["projected_vertices"] + np.asarray(
+                [x, y], np.float32
+            )
+            preds["points"] = preds["points"] + np.asarray([x, y])
         submission[el["item_id"]] = predictions_to_submission_entry(preds, emb)
     sub_path = os.path.join(work, f"submission_{tag}.json")
     with open(sub_path, "w") as f:
