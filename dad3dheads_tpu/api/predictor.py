@@ -130,22 +130,26 @@ class FaceMeshPredictor:
     @staticmethod
     @functools.partial(jax.jit, static_argnames=("model_def", "consts_key", "stride", "img_size"))
     def _device_pipeline(model_def, variables, flame, images, consts_key, stride, img_size):
-        consts = dict(consts_key)
         out = model_def.apply(variables, images, train=False)
 
-        heatmap = out[OUTPUT_LANDMARKS_HEATMAP]  # (B, H, W, C)
-        B, H, W, C = heatmap.shape
-        flat = jax.nn.sigmoid(heatmap).reshape(B, H * W, C)
-        idx = jnp.argmax(flat, axis=1)
-        landmarks = (
-            jnp.stack([idx % W, idx // W], axis=-1).astype(jnp.float32) * stride
-        )  # xy at input resolution
+        if OUTPUT_2D_LANDMARKS in out:
+            # reference precedence (predictor.py:107-112): use the regression
+            # head's normalized landmarks when the model emits them...
+            landmarks = out[OUTPUT_2D_LANDMARKS] * float(img_size)
+        else:
+            # ...otherwise decode the heatmap argmax at input resolution
+            heatmap = out[OUTPUT_LANDMARKS_HEATMAP]  # (B, H, W, C)
+            B, H, W, C = heatmap.shape
+            flat = jax.nn.sigmoid(heatmap).reshape(B, H * W, C)
+            idx = jnp.argmax(flat, axis=1)
+            landmarks = (
+                jnp.stack([idx % W, idx // W], axis=-1).astype(jnp.float32) * stride
+            )
         landmarks = jnp.clip(landmarks, 0, img_size)
 
         return {
             "landmarks": landmarks,
             "3dmm": out[OUTPUT_3DMM_PARAMS],
-            "2d_landmarks": out.get(OUTPUT_2D_LANDMARKS),
         }
 
     @staticmethod

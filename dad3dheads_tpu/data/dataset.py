@@ -275,15 +275,15 @@ class DataLoader:
         stop = threading.Event()
 
         def worker():
-            try:
-                for b in batches:
-                    if stop.is_set():
-                        return
-                    from concurrent.futures import ThreadPoolExecutor
+            from concurrent.futures import ThreadPoolExecutor
 
-                    with ThreadPoolExecutor(self.num_workers) as ex:
+            try:
+                with ThreadPoolExecutor(self.num_workers) as ex:
+                    for b in batches:
+                        if stop.is_set():
+                            return
                         samples = list(ex.map(self.dataset.__getitem__, b))
-                    q.put(collate(samples))
+                        q.put(collate(samples))
             finally:
                 q.put(None)
 

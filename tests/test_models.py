@@ -66,3 +66,14 @@ def test_resize_bilinear_align_corners_matches_torch_semantics():
     np.testing.assert_allclose(y[-1, 0], 3.0, atol=1e-6)
     np.testing.assert_allclose(y[-1, -1], 4.0, atol=1e-6)
     np.testing.assert_allclose(y[0, 1], 1.0 + 1.0 / 3.0, atol=1e-5)
+
+
+def test_mobilenet_backbone_forward():
+    model = create_model({"backbone": "mobilenet_w1"})
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    # mobilenet stage0 = init(s2) + stage1, so the first pyramid level sits at
+    # stride 4 like resnet50
+    assert out[OUTPUT_LANDMARKS_HEATMAP].shape == (1, 16, 16, 68)
+    assert out[OUTPUT_3DMM_PARAMS].shape == (1, 413)
