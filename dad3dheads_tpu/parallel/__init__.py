@@ -1,3 +1,4 @@
+from .prefetch import device_prefetch
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -20,4 +21,5 @@ __all__ = [
     "replicate",
     "pad_batch_to_devices",
     "local_data_parallel_mesh",
+    "device_prefetch",
 ]

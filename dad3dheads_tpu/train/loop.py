@@ -209,7 +209,9 @@ class Trainer:
             t0 = time.time()
             acc = MetricAccumulator()
             n_batches = 0
-            for batch in self.train_loader:
+            from ..parallel.prefetch import device_prefetch
+
+            for batch in device_prefetch(self.train_loader, self.mesh):
                 sched_factor = (
                     float(self.schedule(host_step)) if self.schedule else 1.0
                 )
@@ -217,7 +219,7 @@ class Trainer:
                 state, logs = self.train_step(
                     state,
                     flame,
-                    self._put_batch(batch),
+                    batch,
                     rng,
                     jnp.asarray(lr_mult * sched_factor, jnp.float32),
                 )
@@ -234,8 +236,10 @@ class Trainer:
             val_metrics: Dict[str, float] = {}
             if self.val_loader is not None:
                 vacc = MetricAccumulator()
-                for batch in self.val_loader:
-                    vacc.add(self.eval_step(state, flame, self._put_batch(batch)))
+                from ..parallel.prefetch import device_prefetch
+
+                for batch in device_prefetch(self.val_loader, self.mesh):
+                    vacc.add(self.eval_step(state, flame, batch))
                 val_metrics = {f"valid/{k}": v for k, v in vacc.means().items()}
 
             epoch_metrics = {**train_metrics, **val_metrics, "train/learning_rate": self.base_lr * lr_mult}
