@@ -77,3 +77,20 @@ def test_mobilenet_backbone_forward():
     # stride 4 like resnet50
     assert out[OUTPUT_LANDMARKS_HEATMAP].shape == (1, 16, 16, 68)
     assert out[OUTPUT_3DMM_PARAMS].shape == (1, 413)
+
+
+def test_resize_nearest_matmul_matches_gather(rng):
+    """The MXU replication-matmul upsample must equal torch-nearest exactly."""
+    from dad3dheads_tpu.models.bifpn import _resize_nearest
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 4)).astype(np.float32))
+    up = np.asarray(_resize_nearest(x, (16, 16)))
+    ref = np.asarray(x)[:, np.arange(16) // 2][:, :, np.arange(16) // 2]
+    np.testing.assert_array_equal(up, ref)
+    # 4x (still integer multiple)
+    up4 = np.asarray(_resize_nearest(x, (32, 32)))
+    ref4 = np.asarray(x)[:, np.arange(32) // 4][:, :, np.arange(32) // 4]
+    np.testing.assert_array_equal(up4, ref4)
+    # down 2x = strided slice
+    dn = np.asarray(_resize_nearest(x, (4, 4)))
+    np.testing.assert_array_equal(dn, np.asarray(x)[:, ::2, ::2])
