@@ -128,8 +128,8 @@ class FaceMeshPredictor:
 
     # -- the jitted device pipeline ---------------------------------------
     @staticmethod
-    @functools.partial(jax.jit, static_argnames=("model_def", "consts_key", "stride", "img_size"))
-    def _device_pipeline(model_def, variables, flame, images, consts_key, stride, img_size):
+    @functools.partial(jax.jit, static_argnames=("model_def", "stride", "img_size"))
+    def _device_pipeline(model_def, variables, images, stride, img_size):
         out = model_def.apply(variables, images, train=False)
 
         if OUTPUT_2D_LANDMARKS in out:
@@ -174,9 +174,7 @@ class FaceMeshPredictor:
         dev = self._device_pipeline(
             self.model,
             self.variables,
-            self.flame,
             jnp.asarray(tensor[None]),
-            consts_key,
             self._stride,
             self._img_size,
         )
@@ -184,7 +182,9 @@ class FaceMeshPredictor:
         pred_3dmm = np.asarray(dev["3dmm"])
 
         landmarks = readjust_landmarks_np(landmarks, paddings, scale)
-        pred_3dmm = readjust_3dmm_np(pred_3dmm, paddings, scale, self._img_size)
+        pred_3dmm = readjust_3dmm_np(
+            pred_3dmm, paddings, scale, self._img_size, self.flame_constants
+        )
 
         vertices_3d, projected = self._decode_3dmm(
             self.flame, jnp.asarray(pred_3dmm), consts_key, self._img_size
@@ -208,7 +208,7 @@ class FaceMeshPredictor:
             x = jnp.asarray(images)
         consts_key = tuple(sorted(self.flame_constants.items()))
         dev = self._device_pipeline(
-            self.model, self.variables, self.flame, x, consts_key, self._stride, self._img_size
+            self.model, self.variables, x, self._stride, self._img_size
         )
         vertices_3d, projected = self._decode_3dmm(
             self.flame, dev["3dmm"], consts_key, self._img_size

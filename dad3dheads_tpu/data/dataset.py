@@ -120,7 +120,7 @@ class FlameDataset:
             num_classes=self.num_classes,
         )
         self.train_mode = bool(config.get("train_mode", True))
-        self._rng = np.random.default_rng(config.get("seed", 0))
+        self._seed = int(config.get("seed", 0))
         # lazy torch-free landmark evaluation on host
         emb = assets.load_landmark_embeddings()
         faces = assets.get_faces()
@@ -167,7 +167,11 @@ class FlameDataset:
         try:
             item = self.data[idx]
             img = read_as_rgb(os.path.join(self.root, item["img_path"]))
-            bbox = random_extended_bbox(item["bbox"], img.shape[:2], self._rng)
+            # per-sample generator: numpy Generators are not thread-safe, and
+            # __getitem__ runs on loader threads; (seed, idx) keeps the jitter
+            # deterministic and race-free
+            rng = np.random.default_rng((self._seed, idx))
+            bbox = random_extended_bbox(item["bbox"], img.shape[:2], rng)
             x, y, w, h = bbox
             crop = img[y : y + h, x : x + w]
             if crop.size == 0:
@@ -217,8 +221,9 @@ def collate(samples: List[Optional[Dict[str, Any]]]) -> Dict[str, Any]:
     good = [s for s in samples if s is not None]
     if not good:
         raise RuntimeError("all samples in batch failed to load")
+    n_good = len(good)
     while len(good) < len(samples):
-        good.append(good[len(good) % max(len(good), 1)])
+        good.append(good[(len(good) - n_good) % n_good])
     out: Dict[str, Any] = {}
     for k in good[0]:
         vals = [s[k] for s in good]
@@ -274,6 +279,18 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            # bounded put that re-checks the stop flag, so an abandoned
+            # iterator (consumer broke out early) cannot wedge the worker in
+            # a full queue forever
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             from concurrent.futures import ThreadPoolExecutor
 
@@ -283,9 +300,10 @@ class DataLoader:
                         if stop.is_set():
                             return
                         samples = list(ex.map(self.dataset.__getitem__, b))
-                        q.put(collate(samples))
+                        if not put_or_stop(collate(samples)):
+                            return
             finally:
-                q.put(None)
+                put_or_stop(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

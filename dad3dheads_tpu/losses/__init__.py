@@ -259,6 +259,7 @@ class LossModule:
         epoch = jnp.asarray(epoch)
         losses: Dict[str, jax.Array] = {}
         values = []
+        gates = []
         for c in self.config:
             kind = c["kind"]
             if kind == "iou":
@@ -293,12 +294,15 @@ class LossModule:
             val = val * c.get("weight", 1.0) * gate
             losses[c["name"]] = val
             values.append(val)
+            gates.append(gate)
 
         stack = jnp.stack(values)
         if self.reduction == "sum":
             total = stack.sum()
         elif self.reduction == "mean":
-            total = stack.mean()
+            # average over ACTIVE criteria only (the reference excludes
+            # not-yet-scheduled losses from the stack entirely)
+            total = stack.sum() / jnp.maximum(jnp.stack(gates).sum(), 1.0)
         elif self.reduction == "none":
             total = stack
         else:

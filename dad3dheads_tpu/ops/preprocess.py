@@ -86,20 +86,28 @@ def readjust_landmarks_np(
 
 
 def readjust_3dmm_np(
-    pred_3dmm: np.ndarray, paddings: List[int], scale: float, img_size: int = 256
+    pred_3dmm: np.ndarray,
+    paddings: List[int],
+    scale: float,
+    img_size: int = 256,
+    constants=None,
 ) -> np.ndarray:
     """Map predicted scale/translation from network space back to the
     original full image (predictor.py:154-176):
       scale'       = (scale + 1) / s - 1
       translation' = (translation + 1 - 2*[pl, pt, 0]/img) / s - 1
+    Offsets are derived from the (configurable) FLAME constants split.
     """
+    from ..constants import flame_param_offset
+
+    t0 = flame_param_offset("translation", constants)
+    s0 = flame_param_offset("scale", constants)
     out = np.array(pred_3dmm, copy=True)
-    # packed layout offsets: translation at 409, scale at 412 (see constants)
-    t = out[:, 409:412]
-    sc = out[:, 412:413]
+    t = out[:, t0 : t0 + 3]
+    sc = out[:, s0 : s0 + 1]
     shift = np.asarray([[paddings[2], paddings[0], 0.0]], np.float32) * 2.0 / img_size
-    out[:, 409:412] = (t + 1.0 - shift) / scale - 1.0
-    out[:, 412:413] = (sc + 1.0) / scale - 1.0
+    out[:, t0 : t0 + 3] = (t + 1.0 - shift) / scale - 1.0
+    out[:, s0 : s0 + 1] = (sc + 1.0) / scale - 1.0
     return out
 
 

@@ -26,7 +26,7 @@ import numpy as np
 
 from ..core.flame import FlameModel
 from ..losses import LossModule
-from ..parallel import batch_sharding, local_data_parallel_mesh, replicated
+from ..parallel import local_data_parallel_mesh, replicated
 from .checkpoint import CheckpointManager
 from .optimizers import get_optimizer
 from .schedulers import EarlyStopping, ReduceLROnPlateau, get_schedule
@@ -147,21 +147,6 @@ class Trainer:
         self._log_file.write(json.dumps({"step": step, **metrics}) + "\n")
         self._log_file.flush()
 
-    # -- data placement ----------------------------------------------------
-    def _put_batch(self, batch: Dict[str, Any]):
-        sharding = batch_sharding(self.mesh)
-        arrays = {
-            k: v for k, v in batch.items() if isinstance(v, (np.ndarray, jnp.ndarray))
-        }
-        n_data = self.mesh.shape["data"]
-        for k, v in arrays.items():
-            if v.shape[0] % n_data != 0:
-                raise ValueError(
-                    f"batch axis of {k} ({v.shape[0]}) must be divisible by the "
-                    f"data-mesh axis ({n_data} devices)"
-                )
-        return {k: jax.device_put(jnp.asarray(v), sharding) for k, v in arrays.items()}
-
     # -- fit ---------------------------------------------------------------
     def fit(self, state: Optional[TrainState] = None, resume: bool = False) -> TrainState:
         if state is None:
@@ -211,10 +196,10 @@ class Trainer:
             n_batches = 0
             from ..parallel.prefetch import device_prefetch
 
+            # epoch-granular schedule factor (the reference steps its LR
+            # schedulers once per epoch; per-step warmup is separate)
+            sched_factor = float(self.schedule(epoch)) if self.schedule else 1.0
             for batch in device_prefetch(self.train_loader, self.mesh):
-                sched_factor = (
-                    float(self.schedule(host_step)) if self.schedule else 1.0
-                )
                 host_step += 1
                 state, logs = self.train_step(
                     state,

@@ -148,9 +148,10 @@ class ReduceLROnPlateau:
         else:
             self.bad_epochs += 1
             if self.bad_epochs > self.patience:
-                new_mult = self.multiplier * self.factor
-                if current_lr * new_mult >= self.min_lr:
-                    self.multiplier = new_mult
+                # the new LR is current_lr * factor (current_lr already
+                # includes the accumulated multiplier)
+                if current_lr * self.factor >= self.min_lr:
+                    self.multiplier = self.multiplier * self.factor
                 self.bad_epochs = 0
         return self.multiplier
 

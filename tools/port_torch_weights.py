@@ -46,55 +46,94 @@ def load_torch_state_dict(path: str) -> Dict[str, "np.ndarray"]:
     return {k: v.detach().numpy() for k, v in sd.items()}
 
 
-def convert_tensor(name: str, value: np.ndarray, flax_shape: Tuple[int, ...]) -> np.ndarray:
-    """Layout conversion by rank: conv OIHW->HWIO, dense (out,in)->(in,out)."""
+def convert_tensor(value: np.ndarray) -> np.ndarray:
+    """Layout conversion by rank: conv OIHW->HWIO (covers depthwise too),
+    dense (out,in)->(in,out)."""
     if value.ndim == 4:
-        out = np.transpose(value, (2, 3, 1, 0))  # OIHW -> HWIO
-        if out.shape != tuple(flax_shape) and value.shape[1] == 1:
-            # depthwise: torch (C, 1, H, W) -> flax (H, W, 1, C)
-            out = np.transpose(value, (2, 3, 1, 0))
-        return out
+        return np.transpose(value, (2, 3, 1, 0))
     if value.ndim == 2:
         return value.T
     return value
 
 
-def port(torch_sd: Dict[str, np.ndarray], flax_variables) -> Tuple[Any, List[str]]:
-    """Greedy shape-matching port: walks both trees in deterministic order and
-    pairs tensors whose converted shapes match. Returns (variables, report).
+def _torch_class(name: str, value: np.ndarray) -> str:
+    """Role of a torch tensor: conv/dense kernels, BN gamma/beta, BN stats."""
+    if name.endswith("running_mean"):
+        return "mean"
+    if name.endswith("running_var"):
+        return "var"
+    if name.endswith("num_batches_tracked"):
+        return "skip"
+    if value.ndim >= 2:
+        return "kernel"
+    if name.endswith(".weight"):
+        return "scale"  # 1-D weight = BN gamma
+    if name.endswith(".bias"):
+        return "bias"
+    return "other"
 
-    This is intentionally conservative: any leaf it cannot match is left at
-    its initialized value and reported, so a partial port is visible rather
-    than silent.
+
+def _flax_class(path: str) -> str:
+    leaf = path.rsplit("'", 2)[-2] if "'" in path else path
+    if leaf in ("kernel",):
+        return "kernel"
+    if leaf in ("scale",):
+        return "scale"
+    if leaf in ("bias",):
+        return "bias"
+    if leaf in ("mean",):
+        return "mean"
+    if leaf in ("var",):
+        return "var"
+    return "other"
+
+
+def port(torch_sd: Dict[str, np.ndarray], flax_variables) -> Tuple[Any, List[str]]:
+    """Class-partitioned greedy port: tensors are first grouped by role
+    (conv/dense kernel, BN scale, bias, running mean, running var) so a BN
+    gamma can never land in a running-stats slot, then paired greedily by
+    converted shape within each role, preserving each side's order.
+
+    CAVEAT: within a role, layers of identical shape are paired by traversal
+    order — flax sorts module names while torch keeps definition order, so a
+    real checkpoint port must be validated numerically (run the predictor on
+    a reference image); any unmatched leaf is reported, never silent.
     """
     import jax
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(flax_variables)
-    torch_items = list(torch_sd.items())
-    used = [False] * len(torch_items)
+    pools: Dict[str, List[Tuple[str, np.ndarray]]] = {}
+    for tname, tval in torch_sd.items():
+        cls = _torch_class(tname, tval)
+        if cls != "skip":
+            pools.setdefault(cls, []).append((tname, tval))
+    used: Dict[str, List[bool]] = {k: [False] * len(v) for k, v in pools.items()}
+
     new_leaves = []
     report: List[str] = []
-
     for path, leaf in flat:
+        pstr = jax.tree_util.keystr(path)
+        cls = _flax_class(pstr)
         target_shape = tuple(leaf.shape)
         placed = None
-        for i, (tname, tval) in enumerate(torch_items):
-            if used[i]:
+        for i, (tname, tval) in enumerate(pools.get(cls, [])):
+            if used[cls][i]:
                 continue
-            conv = convert_tensor(tname, tval, target_shape)
+            conv = convert_tensor(tval)
             if tuple(conv.shape) == target_shape:
                 placed = conv
-                used[i] = True
+                used[cls][i] = True
                 break
         if placed is None:
-            report.append(f"UNMATCHED flax leaf {jax.tree_util.keystr(path)} {target_shape}")
+            report.append(f"UNMATCHED flax leaf {pstr} ({cls}) {target_shape}")
             new_leaves.append(leaf)
         else:
             new_leaves.append(placed.astype(np.float32))
 
-    for i, (tname, tval) in enumerate(torch_items):
-        if not used[i]:
-            report.append(f"UNUSED torch tensor {tname} {tuple(tval.shape)}")
+    for cls, items in pools.items():
+        for i, (tname, tval) in enumerate(items):
+            if not used[cls][i]:
+                report.append(f"UNUSED torch tensor {tname} ({cls}) {tuple(tval.shape)}")
     return jax.tree_util.tree_unflatten(treedef, new_leaves), report
 
 
