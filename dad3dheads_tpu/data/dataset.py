@@ -62,18 +62,26 @@ class HeatmapCoder:
     /root/reference/model_training/data/coder.py; the device path uses
     ops.heatmap.encode_heatmap instead)."""
 
-    def __init__(self, img_size: int = 256, stride: int = 4, radius: int = 5, num_classes: int = 68):
+    def __init__(self, img_size: int = 256, stride: int = 4, radius=5, num_classes: int = 68):
         self.img_size = img_size
         self.stride = stride
-        self.radius = radius
         self.num_classes = num_classes
-        d = 2 * radius + 1
-        sigma = d / 6.0
-        ax = np.arange(-radius, radius + 1)
-        xx, yy = np.meshgrid(ax, ax)
-        g = np.exp(-(xx * xx + yy * yy) / (2 * sigma * sigma)).astype(np.float32)
-        g[g < np.finfo(np.float32).eps * g.max()] = 0
-        self._gaussian = g
+        if radius == "pointwise":
+            # fixed 3x3 kernel (reference pointwise_gaussian_2d,
+            # data/utils.py:37-39)
+            self.radius = 1
+            self._gaussian = np.asarray(
+                [[0.5, 0.75, 0.5], [0.75, 1.0, 0.75], [0.5, 0.75, 0.5]], np.float32
+            )
+        else:
+            self.radius = int(radius)
+            d = 2 * self.radius + 1
+            sigma = d / 6.0
+            ax = np.arange(-self.radius, self.radius + 1)
+            xx, yy = np.meshgrid(ax, ax)
+            g = np.exp(-(xx * xx + yy * yy) / (2 * sigma * sigma)).astype(np.float32)
+            g[g < np.finfo(np.float32).eps * g.max()] = 0
+            self._gaussian = g
 
     def __call__(self, keypoints: np.ndarray, presence: np.ndarray) -> np.ndarray:
         size = self.img_size // self.stride
@@ -116,7 +124,7 @@ class FlameDataset:
         self.coder = HeatmapCoder(
             self.img_size,
             self.stride,
-            radius=int(config.get("radius", 5)),
+            radius=config.get("radius", 5),
             num_classes=self.num_classes,
         )
         self.train_mode = bool(config.get("train_mode", True))
