@@ -68,48 +68,43 @@ def main() -> None:
         lms = get_68_landmarks(v, embedding)
         return v, proj[..., :2], lms
 
-    def looped(n_iters):
-        in_dtype = jnp.bfloat16 if DTYPE in ("bf16", "bfloat16") else jnp.float32
+    in_dtype = jnp.bfloat16 if DTYPE in ("bf16", "bfloat16") else jnp.float32
 
-        @jax.jit
-        def run(variables, flame, embedding, seed):
-            images = jax.random.normal(seed, (BATCH, 256, 256, 3), in_dtype)
+    @jax.jit
+    def run(variables, flame, embedding, seed, n_iters):
+        # n_iters is a traced scalar, so the 1-iteration baseline and the
+        # N-iteration run share one executable (halves cold-start compiles)
+        images = jax.random.normal(seed, (BATCH, 256, 256, 3), in_dtype)
 
-            def body(i, carry):
-                imgs, acc = carry
-                v, proj, lms = pipeline(variables, flame, embedding, imgs)
-                # consume every output so XLA cannot dead-code-eliminate the
-                # mesh / reprojection branches inside the loop
-                chk = jnp.mean(lms) + 1e-20 * (jnp.sum(v[:, 0]) + jnp.sum(proj[:, 0]))
-                # data dependency between iterations so XLA cannot collapse
-                # the loop; a single-element in-place update (the loop carry
-                # aliases, so this is not a full-buffer copy) with a
-                # below-fp32-resolution perturbation
-                imgs = imgs.at[0, 0, 0, 0].add((chk * 1e-30).astype(imgs.dtype))
-                return imgs, acc + chk
+        def body(i, carry):
+            imgs, acc = carry
+            v, proj, lms = pipeline(variables, flame, embedding, imgs)
+            # consume every output so XLA cannot dead-code-eliminate the
+            # mesh / reprojection branches inside the loop
+            chk = jnp.mean(lms) + 1e-20 * (jnp.sum(v[:, 0]) + jnp.sum(proj[:, 0]))
+            # data dependency between iterations so XLA cannot collapse
+            # the loop; a single-element in-place update (the loop carry
+            # aliases, so this is not a full-buffer copy) with a
+            # below-fp32-resolution perturbation
+            imgs = imgs.at[0, 0, 0, 0].add((chk * 1e-30).astype(imgs.dtype))
+            return imgs, acc + chk
 
-            _, acc = jax.lax.fori_loop(0, n_iters, body, (images, jnp.zeros(())))
-            return acc
+        _, acc = jax.lax.fori_loop(0, n_iters, body, (images, jnp.zeros(())))
+        return acc
 
-        return run
+    # warm (compile + one exec)
+    float(run(variables, flame, embedding, jax.random.PRNGKey(1), 1))
 
-    run1 = looped(1)
-    runN = looped(1 + ITERS)
-
-    # warm both executables (compile + one timed-region exec each)
-    float(run1(variables, flame, embedding, jax.random.PRNGKey(1)))
-    float(runN(variables, flame, embedding, jax.random.PRNGKey(1)))
-
-    def timed(fn, reps=3):
+    def timed(n, reps=3):
         best = float("inf")
         for i in range(reps):
             t0 = time.perf_counter()
-            float(fn(variables, flame, embedding, jax.random.PRNGKey(2 + i)))
+            float(run(variables, flame, embedding, jax.random.PRNGKey(2 + i), n))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_1 = timed(run1)
-    t_n = timed(runN)
+    t_1 = timed(1)
+    t_n = timed(1 + ITERS)
     per_iter = max((t_n - t_1) / ITERS, 1e-9)
 
     ips = BATCH / per_iter
