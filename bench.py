@@ -106,8 +106,12 @@ def main() -> None:
     t_1 = timed(1)
     t_n = timed(1 + ITERS)
     per_iter = max((t_n - t_1) / ITERS, 1e-9)
-
     ips = BATCH / per_iter
+
+    extra = {}
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        extra = _train_step_bench()
+
     print(
         json.dumps(
             {
@@ -115,9 +119,62 @@ def main() -> None:
                 "value": round(ips, 1),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(ips / NORTH_STAR, 3),
+                **extra,
             }
         )
     )
+
+
+def _train_step_bench(batch: int = 64, iters: int = 8):
+    """Full train-step throughput (forward + 4 losses over one shared FLAME
+    decode + backward + adam), same traced-iteration methodology. Recorded in
+    the round artifact so training perf is tracked alongside inference
+    (reference trains as its primary function — train.py:40-44)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dad3dheads_tpu.core.flame import FlameModel
+    from dad3dheads_tpu.core.landmarks import LandmarkEmbedding
+    from dad3dheads_tpu.data import synthetic_batch
+    from dad3dheads_tpu.models import create_model
+    from dad3dheads_tpu.train import build_train_step, get_optimizer, init_train_state
+
+    model = create_model({"backbone": "resnet50", "dtype": DTYPE})
+    tx = get_optimizer({"name": "adam", "lr": 1e-4}, gradient_clip_val=5.0)
+    state = init_train_state(model, tx, jax.random.PRNGKey(0), (1, 256, 256, 3))
+    flame = FlameModel.load()
+    emb = LandmarkEmbedding.load()
+    step_fn = build_train_step(model, tx, img_size=256, jit=False, with_metrics=False)
+
+    @jax.jit
+    def run(state, flame, emb, rng, n):
+        data = synthetic_batch(rng, flame, emb, batch, 256)
+
+        def body(i, carry):
+            s, r = carry
+            r = jax.random.fold_in(r, i)
+            s, _ = step_fn(s, flame, data, r, jnp.ones((), jnp.float32))
+            return s, r
+
+        s, _ = jax.lax.fori_loop(0, n, body, (state, rng))
+        return s.params["shape_head"]["Dense_0"]["bias"][0]
+
+    float(run(state, flame, emb, jax.random.PRNGKey(1), 1))
+
+    def timed(n, reps=3):
+        best = float("inf")
+        for i in range(reps):
+            t0 = time.perf_counter()
+            float(run(state, flame, emb, jax.random.PRNGKey(2 + i), n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per = max((timed(1 + iters) - timed(1)) / iters, 1e-9)
+    return {
+        "train_step_ips": round(batch / per, 1),
+        "train_batch": batch,
+        "train_step_ms": round(per * 1e3, 2),
+    }
 
 
 if __name__ == "__main__":

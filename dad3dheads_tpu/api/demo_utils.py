@@ -85,24 +85,29 @@ def draw_pose(predictions: Dict[str, Any], image: np.ndarray) -> np.ndarray:
     off = flame_param_offset("rotation")
     rot6 = np.asarray(predictions["3dmm_params"])[:, off : off + 6]
     rpy = calculate_rpy(jnp.asarray(rot6))
-    roll = float(rpy.roll[0]) * np.pi / 180
-    pitch = float(rpy.pitch[0]) * np.pi / 180
-    yaw = -(float(rpy.yaw[0]) * np.pi / 180)
+    roll = np.radians(float(rpy.roll[0]))
+    pitch = np.radians(float(rpy.pitch[0]))
+    yaw = -np.radians(float(rpy.yaw[0]))  # screen yaw is mirrored
 
-    tdx, tdy = image.shape[1] // 2, image.shape[0] // 2
+    # Display rotation M = Rx(pitch) @ Ry(yaw) @ Rz(roll); each arrow endpoint
+    # is the screen (x, y) projection of a rotated basis vector, i.e. the
+    # columns of M's first two rows — no per-endpoint trigonometry.
+    cr, sr = np.cos(roll), np.sin(roll)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    rot_x = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+    rot_y = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    rot_z = np.array([[cr, -sr, 0], [sr, cr, 0], [0, 0, 1]])
+    M = rot_x @ rot_y @ rot_z
+
+    center = np.array([image.shape[1] // 2, image.shape[0] // 2])
     size = image.shape[0] // 10
-
-    x1 = size * (np.cos(yaw) * np.cos(roll)) + tdx
-    y1 = size * (np.cos(pitch) * np.sin(roll) + np.cos(roll) * np.sin(pitch) * np.sin(yaw)) + tdy
-    x2 = size * (-np.cos(yaw) * np.sin(roll)) + tdx
-    y2 = size * (np.cos(pitch) * np.cos(roll) - np.sin(pitch) * np.sin(yaw) * np.sin(roll)) + tdy
-    x3 = size * np.sin(yaw) + tdx
-    y3 = size * (-np.cos(yaw) * np.sin(pitch)) + tdy
+    endpoints = (size * M[:2, :]).T + center  # rows: x-, y-, z-axis tips
 
     thickness = max(1, int(image.shape[0] * 0.005))
-    cv2.arrowedLine(image, (int(tdx), int(tdy)), (int(x1), int(y1)), (0, 0, 255), thickness)
-    cv2.arrowedLine(image, (int(tdx), int(tdy)), (int(x2), int(y2)), (0, 255, 0), thickness)
-    cv2.arrowedLine(image, (int(tdx), int(tdy)), (int(x3), int(y3)), (255, 0, 0), thickness)
+    axis_colors = ((0, 0, 255), (0, 255, 0), (255, 0, 0))
+    for (ex, ey), color in zip(endpoints, axis_colors):
+        cv2.arrowedLine(image, tuple(center), (int(ex), int(ey)), color, thickness)
     return image
 
 

@@ -101,6 +101,7 @@ class FaceMeshPredictor:
         self.config = {**DEFAULT_CONFIG, **(config or {})}
         self._img_size = int(self.config["img_size"])
         self._stride = int(self.config.get("stride", 4))
+        self._resize_mode = self.config.get("resize_mode", "longest_max_size")
         self.flame_constants = self.config["constants"]
         self.flame = FlameModel.load(flame_path)
 
@@ -168,7 +169,9 @@ class FaceMeshPredictor:
     def __call__(self, image: np.ndarray) -> Dict[str, Any]:
         """RGB uint8 (H, W, 3) -> prediction dict in original-image coords."""
         h, w = image.shape[:2]
-        tensor, scale, paddings = preprocess_image_np(image, self._img_size)
+        tensor, scale, paddings = preprocess_image_np(
+            image, self._img_size, mode=self._resize_mode
+        )
         consts_key = tuple(sorted(self.flame_constants.items()))
 
         dev = self._device_pipeline(

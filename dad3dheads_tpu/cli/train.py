@@ -84,9 +84,10 @@ def main() -> None:
     from ..core.landmarks import LandmarkEmbedding
     from ..models import create_model
     from ..parallel import make_mesh
-    from .config_io import load_and_prepare
+    from ..train.config import load_config, prepare_experiment_dir
 
-    config = load_and_prepare(args.config, args.overrides)
+    config = load_config(args.config, args.overrides)
+    prepare_experiment_dir(config)
     logger.info("experiment dir: %s", config["experiment_dir"])
 
     model = create_model(config.get("model", {}))

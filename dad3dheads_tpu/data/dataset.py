@@ -112,6 +112,9 @@ class FlameDataset:
         self.stride = int(config.get("stride", 4))
         self.num_classes = int(config.get("num_classes", 68))
         self.normalize = config.get("transform", {}).get("normalize", "imagenet")
+        # reference offers 'longest_max_size' (aspect + pad) and plain
+        # 'resize' (data/transforms.py:7-24)
+        self.resize_mode = config.get("transform", {}).get("resize_mode", "longest_max_size")
         # uint8 output defers normalization to the device (4x cheaper
         # host->device transfer; the train step normalizes on chip)
         self.output_uint8 = bool(config.get("output_uint8", False))
@@ -202,7 +205,9 @@ class FlameDataset:
             )
 
             norm = "none" if self.output_uint8 else self.normalize
-            tensor, scale, pads = preprocess_image_np(crop, self.img_size, norm)
+            tensor, scale, pads = preprocess_image_np(
+                crop, self.img_size, norm, mode=self.resize_mode
+            )
             if self.output_uint8:
                 tensor = np.clip(tensor * 255.0 + 0.5, 0, 255).astype(np.uint8)
             lms_t = transform_keypoints_np(lms_2d, scale, pads)
@@ -249,6 +254,16 @@ class DataLoader:
     decode is the only heavy host work (heatmaps can run on device), so a
     small thread pool + bounded prefetch queue keeps the TPU fed without
     process-spawn overhead.
+
+    Multi-host: pass ``process_index``/``process_count`` (defaults: JAX's) and
+    the SAME ``seed`` on every host. Each epoch every process draws the same
+    permutation, takes the interleaved slice ``order[rank::count]``
+    (DistributedSampler semantics, reference
+    flame_lightning_model.py:182-186), and yields LOCAL batches of
+    ``batch_size // process_count`` samples. The per-epoch batch count is
+    computed from ``len(dataset) // process_count`` so every process yields
+    exactly the same number of batches — a divergent tail would deadlock the
+    cross-host collectives inside the train step.
     """
 
     def __init__(
@@ -260,9 +275,24 @@ class DataLoader:
         prefetch: int = 4,
         seed: int = 0,
         drop_last: bool = True,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
+        if process_index is None or process_count is None:
+            import jax
+
+            process_index = jax.process_index() if process_index is None else process_index
+            process_count = jax.process_count() if process_count is None else process_count
+        if batch_size % process_count != 0:
+            raise ValueError(
+                f"global batch size {batch_size} must be divisible by "
+                f"process_count {process_count}"
+            )
         self.dataset = dataset
         self.batch_size = batch_size
+        self.local_batch_size = batch_size // process_count
+        self.process_index = process_index
+        self.process_count = process_count
         self.shuffle = shuffle
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
@@ -270,19 +300,24 @@ class DataLoader:
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
-        n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else (n + self.batch_size - 1) // self.batch_size
+        n = len(self.dataset) // self.process_count
+        b = self.local_batch_size
+        return n // b if self.drop_last else (n + b - 1) // b
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(order)
+        # every process sees the same length (the interleaved slice is
+        # truncated to the shortest process's count)
+        n_local = len(order) // self.process_count
+        local_order = order[self.process_index :: self.process_count][:n_local]
+        bs = self.local_batch_size
         batches = [
-            order[i : i + self.batch_size]
-            for i in range(0, len(order), self.batch_size)
+            local_order[i : i + bs] for i in range(0, len(local_order), bs)
         ]
         if self.drop_last:
-            batches = [b for b in batches if len(b) == self.batch_size]
+            batches = [b for b in batches if len(b) == bs]
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

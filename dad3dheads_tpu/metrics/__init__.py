@@ -7,10 +7,10 @@ Behavioral specs:
     failure rate = fraction of samples with error beyond threshold * IOD.
   - soft_iou: /root/reference/model_training/metrics/iou.py:16-33.
 
-Design: pure functions returning per-batch (sum, count) statistics via
-``MetricState`` — a pytree that accumulates across steps with ``+`` and is
-collective-friendly: inside a pjit'd step over a data mesh, XLA inserts the
-cross-device reductions automatically (the torchmetrics
+Design: pure per-batch functions; cross-step averaging happens in the
+Trainer's device-side ``MetricAccumulator`` (one jitted tree-merge per step)
+and cross-device reduction is implicit: inside a pjit'd step over a data mesh
+XLA inserts the collectives automatically (the torchmetrics
 ``dist_reduce_fx="sum"`` equivalent is a plain ``jnp.sum`` of sharded data).
 """
 
@@ -20,29 +20,6 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
-from flax import struct
-
-
-@struct.dataclass
-class MetricState:
-    """Accumulated (sum, count) pair; ``compute()`` yields the mean."""
-
-    total: jax.Array
-    count: jax.Array
-
-    @classmethod
-    def empty(cls) -> "MetricState":
-        return cls(total=jnp.zeros((), jnp.float32), count=jnp.zeros((), jnp.float32))
-
-    @classmethod
-    def of(cls, value: jax.Array) -> "MetricState":
-        return cls(total=jnp.asarray(value, jnp.float32), count=jnp.ones((), jnp.float32))
-
-    def merge(self, other: "MetricState") -> "MetricState":
-        return MetricState(total=self.total + other.total, count=self.count + other.count)
-
-    def compute(self) -> jax.Array:
-        return self.total / jnp.maximum(self.count, 1.0)
 
 
 def _norm_distance(bbox: Optional[jax.Array], batch: int) -> jax.Array:
@@ -125,7 +102,6 @@ def compute_step_metrics(
 
 
 __all__ = [
-    "MetricState",
     "keypoints_nme",
     "failure_rate",
     "soft_iou",

@@ -45,21 +45,39 @@ def pad_offsets(new_h: int, new_w: int, img_size: int) -> List[int]:
 
 
 def preprocess_image_np(
-    image: np.ndarray, img_size: int = 256, normalize: str = "imagenet"
-) -> Tuple[np.ndarray, float, List[int]]:
+    image: np.ndarray,
+    img_size: int = 256,
+    normalize: str = "imagenet",
+    mode: str = "longest_max_size",
+):
     """RGB uint8 (H, W, 3) -> fp32 (img_size, img_size, 3) NHWC-ready tensor.
 
-    Returns (tensor, scale, paddings[top, bottom, left, right]).
+    ``mode`` selects between the reference's two resize transforms
+    (data/transforms.py:7-24):
+      - ``longest_max_size``: aspect-preserving resize + center square pad;
+        returns (tensor, scalar scale, paddings[top, bottom, left, right]).
+      - ``resize``: plain non-aspect-preserving resize, no padding; returns
+        (tensor, np.array([sx, sy]), [0, 0, 0, 0]). The per-axis scale array
+        broadcasts through the same keypoint transform/inverse functions.
     """
     import cv2
 
     h, w = image.shape[:2]
-    scale, new_h, new_w = longest_max_size_params(h, w, img_size)
-    if (new_h, new_w) != (h, w):
-        interp = cv2.INTER_AREA if scale < 1.0 else cv2.INTER_LINEAR
-        image = cv2.resize(image, (new_w, new_h), interpolation=interp)
-    pt, pb, pl, pr = pad_offsets(new_h, new_w, img_size)
-    image = np.pad(image, ((pt, pb), (pl, pr), (0, 0)), mode="constant")
+    if mode == "resize":
+        scale = np.asarray([img_size / float(w), img_size / float(h)], np.float32)
+        if (h, w) != (img_size, img_size):
+            interp = cv2.INTER_AREA if float(scale.min()) < 1.0 else cv2.INTER_LINEAR
+            image = cv2.resize(image, (img_size, img_size), interpolation=interp)
+        pt = pb = pl = pr = 0
+    elif mode == "longest_max_size":
+        scale, new_h, new_w = longest_max_size_params(h, w, img_size)
+        if (new_h, new_w) != (h, w):
+            interp = cv2.INTER_AREA if scale < 1.0 else cv2.INTER_LINEAR
+            image = cv2.resize(image, (new_w, new_h), interpolation=interp)
+        pt, pb, pl, pr = pad_offsets(new_h, new_w, img_size)
+        image = np.pad(image, ((pt, pb), (pl, pr), (0, 0)), mode="constant")
+    else:
+        raise KeyError(f"unknown resize mode {mode!r}")
 
     x = image.astype(np.float32) / 255.0
     if normalize == "imagenet":
@@ -88,7 +106,7 @@ def readjust_landmarks_np(
 def readjust_3dmm_np(
     pred_3dmm: np.ndarray,
     paddings: List[int],
-    scale: float,
+    scale,
     img_size: int = 256,
     constants=None,
 ) -> np.ndarray:
@@ -97,6 +115,10 @@ def readjust_3dmm_np(
       scale'       = (scale + 1) / s - 1
       translation' = (translation + 1 - 2*[pl, pt, 0]/img) / s - 1
     Offsets are derived from the (configurable) FLAME constants split.
+
+    ``scale`` may be the per-axis [sx, sy] array from resize mode: x/y
+    translation then divide per axis; z translation and the isotropic FLAME
+    scale use sy (exact when sx == sy, i.e. square crops).
     """
     from ..constants import flame_param_offset
 
@@ -105,9 +127,15 @@ def readjust_3dmm_np(
     out = np.array(pred_3dmm, copy=True)
     t = out[:, t0 : t0 + 3]
     sc = out[:, s0 : s0 + 1]
+    scale = np.asarray(scale, np.float32)
+    if scale.ndim == 0:
+        t_scale, s_scale = scale, scale
+    else:
+        t_scale = np.asarray([scale[0], scale[1], scale[1]], np.float32)
+        s_scale = scale[1]
     shift = np.asarray([[paddings[2], paddings[0], 0.0]], np.float32) * 2.0 / img_size
-    out[:, t0 : t0 + 3] = (t + 1.0 - shift) / scale - 1.0
-    out[:, s0 : s0 + 1] = (sc + 1.0) / scale - 1.0
+    out[:, t0 : t0 + 3] = (t + 1.0 - shift) / t_scale - 1.0
+    out[:, s0 : s0 + 1] = (sc + 1.0) / s_scale - 1.0
     return out
 
 

@@ -44,8 +44,7 @@ def pncc(
 
 
 class PNCCEstimator:
-    def __init__(self, img_size: int = 512, head_mesh: Optional[HeadMesh] = None):
-        self.img_size = img_size
+    def __init__(self, head_mesh: Optional[HeadMesh] = None):
         self.head_mesh = head_mesh if head_mesh is not None else HeadMesh()
         self.faces_wo_ears = assets.get_flame_indices("faces_wo_ears_remapped").astype(np.int32)
         v_template = np.asarray(self.head_mesh.model.v_template)

@@ -3,11 +3,19 @@
 Behavioral spec: /root/reference/model_training/train/callbacks/
 model_checkpoint.py:16-51 — keep the k best checkpoints by a monitored metric
 (default valid reprojection NME, min), always keep last, metric-keyed
-filenames; plus warm-start loading (model/utils.py:15-29). The reference
-never wires optimizer-state resume; here ``save``/``restore`` round-trip the
-full TrainState (params, batch stats, optimizer state, step/epoch), and
-``export_inference`` writes the variables-only msgpack the predictor loads —
-the TorchScript-export equivalent (trainer.py:47-52).
+filenames, weights-only top-k (like the reference's ``weights_only``); plus
+warm-start loading (model/utils.py:15-29). The reference never wires
+optimizer-state resume; here 'last' round-trips the full TrainState (params,
+batch stats, optimizer state, step/epoch), and ``export_inference`` writes
+the variables-only msgpack the predictor loads — the TorchScript-export
+equivalent (trainer.py:47-52).
+
+Async mode (``async_save=True``): ``save`` snapshots the state with a
+device-side copy (new buffers, so the train step's donated-state buffers are
+never read after invalidation) and hands serialization + file IO to a single
+writer thread — the device->host transfer (hundreds of MB of optimizer state)
+overlaps the next epoch instead of stalling the loop. ``flush()`` drains the
+writer; ``best``/``restore`` flush implicitly.
 """
 
 from __future__ import annotations
@@ -25,6 +33,16 @@ def _sanitize(name: str) -> str:
     return re.sub(r"[^A-Za-z0-9_.=-]", "_", name)
 
 
+def _device_snapshot(tree):
+    """Copy every jax.Array leaf into fresh device buffers (async dispatch)."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(
+        lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, tree
+    )
+
+
 class CheckpointManager:
     def __init__(
         self,
@@ -33,6 +51,8 @@ class CheckpointManager:
         mode: str = "min",
         save_top_k: int = 3,
         save_last: bool = True,
+        async_save: bool = False,
+        weights_only_top_k: bool = True,
     ):
         assert mode in ("min", "max")
         self.directory = directory
@@ -40,17 +60,21 @@ class CheckpointManager:
         self.mode = mode
         self.save_top_k = save_top_k
         self.save_last = save_last
+        self.async_save = async_save
+        self.weights_only_top_k = weights_only_top_k
         os.makedirs(directory, exist_ok=True)
         self._registry_path = os.path.join(directory, "registry.json")
         self._registry: List[Dict[str, Any]] = []
         if os.path.isfile(self._registry_path):
             with open(self._registry_path) as f:
                 self._registry = json.load(f)
+        self._executor = None
+        self._pending = None
 
     # -- internals ---------------------------------------------------------
-    def _write(self, state, path: str) -> None:
+    def _write_bytes(self, data: bytes, path: str) -> None:
         with open(path, "wb") as f:
-            f.write(serialization.to_bytes(state))
+            f.write(data)
 
     def _flush_registry(self) -> None:
         with open(self._registry_path, "w") as f:
@@ -59,20 +83,32 @@ class CheckpointManager:
     def _is_better(self, a: float, b: float) -> bool:
         return a < b if self.mode == "min" else a > b
 
-    # -- public API --------------------------------------------------------
-    def save(self, state, epoch: int, metrics: Dict[str, float]) -> Optional[str]:
-        """Save if within the top-k; always refresh 'last'. Returns the new
-        checkpoint path (or None if not in the top-k)."""
+    def _weights_of(self, state):
+        if hasattr(state, "params") and hasattr(state, "batch_stats"):
+            return {"params": state.params, "batch_stats": state.batch_stats}
+        return state
+
+    def _save_impl(self, state, epoch: int, metrics: Dict[str, float]) -> Optional[str]:
         if self.save_last:
-            self._write(state, os.path.join(self.directory, "last.msgpack"))
+            self._write_bytes(
+                serialization.to_bytes(state), os.path.join(self.directory, "last.msgpack")
+            )
 
         value = float(metrics.get(self.monitor, np.nan))
         path = None
         if not np.isnan(value):
             fname = _sanitize(f"epoch={epoch}_{self.monitor}={value:.4f}") + ".msgpack"
             path = os.path.join(self.directory, fname)
-            self._write(state, path)
-            self._registry.append({"path": path, "epoch": epoch, "value": value})
+            payload = self._weights_of(state) if self.weights_only_top_k else state
+            self._write_bytes(serialization.to_bytes(payload), path)
+            self._registry.append(
+                {
+                    "path": path,
+                    "epoch": epoch,
+                    "value": value,
+                    "weights_only": bool(self.weights_only_top_k),
+                }
+            )
             self._registry.sort(key=lambda e: e["value"], reverse=(self.mode == "max"))
             while len(self._registry) > self.save_top_k:
                 evicted = self._registry.pop()
@@ -83,22 +119,64 @@ class CheckpointManager:
             self._flush_registry()
         return path
 
+    # -- public API --------------------------------------------------------
+    def save(self, state, epoch: int, metrics: Dict[str, float]) -> Optional[str]:
+        """Save if within the top-k; always refresh 'last'. Synchronous mode
+        returns the new top-k path (None if not top-k); async mode snapshots
+        the state on device, queues the write, and returns None."""
+        if not self.async_save:
+            return self._save_impl(state, epoch, metrics)
+
+        snapshot = _device_snapshot(state)
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._executor is None:
+            self._executor = ThreadPoolExecutor(1)
+        self.flush()  # at most one write in flight
+        self._pending = self._executor.submit(self._save_impl, snapshot, epoch, dict(metrics))
+        return None
+
+    def flush(self) -> None:
+        """Drain any in-flight async write (re-raises writer errors)."""
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            pending.result()
+
     @property
     def best(self) -> Optional[Dict[str, Any]]:
+        self.flush()
         return self._registry[0] if self._registry else None
 
     def restore(self, state_template, path: Optional[str] = None):
-        """Load a checkpoint into the structure of ``state_template``."""
+        """Load a checkpoint into the structure of ``state_template``.
+
+        Weights-only top-k checkpoints restore params/batch_stats into the
+        template and keep its optimizer state/step."""
+        self.flush()
+        entry = None
         if path is None:
             if self.best is not None:
-                path = self.best["path"]
+                entry = self.best
+                path = entry["path"]
             else:
                 path = os.path.join(self.directory, "last.msgpack")
+        else:
+            entry = next((e for e in self._registry if e["path"] == path), None)
         with open(path, "rb") as f:
-            return serialization.from_bytes(state_template, f.read())
+            data = f.read()
+        if entry is not None and entry.get("weights_only"):
+            weights = serialization.from_bytes(self._weights_of(state_template), data)
+            if hasattr(state_template, "replace"):
+                return state_template.replace(
+                    params=weights["params"], batch_stats=weights["batch_stats"]
+                )
+            return weights
+        return serialization.from_bytes(state_template, data)
 
     def restore_last(self, state_template):
-        return self.restore(state_template, os.path.join(self.directory, "last.msgpack"))
+        self.flush()
+        with open(os.path.join(self.directory, "last.msgpack"), "rb") as f:
+            return serialization.from_bytes(state_template, f.read())
 
     def export_inference(self, state, path: Optional[str] = None) -> str:
         """Write the variables-only msgpack consumed by FaceMeshPredictor."""

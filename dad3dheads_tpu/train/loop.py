@@ -37,21 +37,31 @@ logger = logging.getLogger(__name__)
 
 
 class MetricAccumulator:
-    """Accumulates per-step metric scalars ON DEVICE (async adds); the host
-    fetch happens once in ``means()`` — one sync per epoch instead of one per
-    step per metric (which is ruinous over a remote TPU attachment)."""
+    """Accumulates per-step metric scalars ON DEVICE; the host fetch happens
+    once in ``means()`` — one sync per epoch instead of one per step per
+    metric (which is ruinous over a remote TPU attachment). The whole logs
+    dict is merged by ONE jitted tree-add per step, so the per-step dispatch
+    cost is a single call rather than one op per metric."""
+
+    _merge = None  # class-level jit cache (same fn for every accumulator)
 
     def __init__(self):
-        self._sums: Dict[str, jax.Array] = {}
+        self._sums: Optional[Dict[str, jax.Array]] = None
         self._n = 0
+        if MetricAccumulator._merge is None:
+            MetricAccumulator._merge = jax.jit(
+                lambda s, o: jax.tree_util.tree_map(jnp.add, s, o)
+            )
 
     def add(self, logs: Dict[str, jax.Array]) -> None:
         self._n += 1
-        for k, v in logs.items():
-            self._sums[k] = v if k not in self._sums else self._sums[k] + v
+        self._sums = dict(logs) if self._sums is None else MetricAccumulator._merge(self._sums, logs)
 
     def means(self) -> Dict[str, float]:
-        return {k: float(v) / max(self._n, 1) for k, v in self._sums.items()}
+        if self._sums is None:
+            return {}
+        host = jax.device_get(self._sums)
+        return {k: float(v) / max(self._n, 1) for k, v in host.items()}
 
 
 class Trainer:
@@ -124,7 +134,15 @@ class Trainer:
             monitor=f"valid/{self.monitor}" if not self.monitor.startswith("valid") else self.monitor,
             mode=self.monitor_mode,
             save_top_k=int(config.get("save_top_k", 3)),
+            # async: the device->host fetch of the full TrainState overlaps
+            # the next epoch instead of stalling the loop
+            async_save=bool(config.get("async_checkpoint", True)),
         )
+        self.checkpoint_every_n_epochs = int(config.get("checkpoint_every_n_epochs", 1))
+        # pred-vs-GT image panels every N steps (reference mixins.py:55-171,
+        # freq from train_stage images_log_freq; 0 disables)
+        self.images_log_freq = int(config.get("images_log_freq", 0))
+        self._viz_forward = None
         self._tb = None
         self._log_file = open(os.path.join(self.experiment_dir, "metrics.jsonl"), "a")
 
@@ -146,6 +164,48 @@ class Trainer:
                 tb.add_scalar(k, v, step)
         self._log_file.write(json.dumps({"step": step, **metrics}) + "\n")
         self._log_file.flush()
+
+    def log_image_panels(self, state: TrainState, batch: Dict[str, Any], step: int) -> None:
+        """TensorBoard pred-vs-GT landmark + heatmap-overlay panels on the
+        current (device) batch. A dedicated jitted eval forward runs only at
+        log steps, so the train step itself stays panel-free."""
+        tb = self._tb_writer()
+        if not tb:
+            return
+        from ..constants import INPUT_IMAGE_KEY
+        from .visualization import heatmap_panel_from_batch, landmarks_panel_from_batch
+
+        if self._viz_forward is None:
+            from ..ops.preprocess import normalize_batch_jax
+
+            def fwd(params, batch_stats, img):
+                if img.dtype == jnp.uint8:
+                    img = normalize_batch_jax(img)
+                return self.model.apply(
+                    {"params": params, "batch_stats": batch_stats}, img, train=False
+                )
+
+            self._viz_forward = jax.jit(fwd)
+
+        outputs = self._viz_forward(state.params, state.batch_stats, batch[INPUT_IMAGE_KEY])
+        n = min(8, int(batch[INPUT_IMAGE_KEY].shape[0]))
+        host_batch = {
+            k: np.asarray(v[:n]) for k, v in batch.items() if hasattr(v, "shape")
+        }
+        host_out = jax.device_get({k: v[:n] for k, v in outputs.items()})
+        normalize = self.config.get("normalize", "imagenet")
+        tb.add_image(
+            "train/landmarks",
+            landmarks_panel_from_batch(host_batch, host_out, self.img_size, normalize=normalize),
+            step,
+            dataformats="HWC",
+        )
+        tb.add_image(
+            "train/heatmap",
+            heatmap_panel_from_batch(host_batch, host_out, normalize=normalize),
+            step,
+            dataformats="HWC",
+        )
 
     # -- fit ---------------------------------------------------------------
     def fit(self, state: Optional[TrainState] = None, resume: bool = False) -> TrainState:
@@ -210,10 +270,13 @@ class Trainer:
                 )
                 acc.add(logs)
                 n_batches += 1
+                if self.images_log_freq and host_step % self.images_log_freq == 0:
+                    self.log_image_panels(state, batch, host_step)
                 if preempted["flag"]:
                     break
             if preempted["flag"]:
                 self.ckpt.save(state, epoch, {})
+                self.ckpt.flush()
                 logger.info("preemption checkpoint saved at step %d", host_step)
                 break
             train_metrics = {f"train/{k}": v for k, v in acc.means().items()}
@@ -227,7 +290,13 @@ class Trainer:
                     vacc.add(self.eval_step(state, flame, batch))
                 val_metrics = {f"valid/{k}": v for k, v in vacc.means().items()}
 
-            epoch_metrics = {**train_metrics, **val_metrics, "train/learning_rate": self.base_lr * lr_mult}
+            # the LR actually applied this epoch: base * plateau-mult *
+            # epoch-schedule factor * linear warmup at the current step
+            warmup = (
+                min(1.0, (host_step + 1.0) / self.warmup_steps) if self.warmup_steps > 0 else 1.0
+            )
+            actual_lr = self.base_lr * lr_mult * sched_factor * warmup
+            epoch_metrics = {**train_metrics, **val_metrics, "train/learning_rate": actual_lr}
             self.log_metrics(epoch_metrics, int(state.step))
             logger.info(
                 "epoch %d done in %.1fs (%d batches): loss=%.4f %s",
@@ -242,7 +311,9 @@ class Trainer:
             monitored = epoch_metrics.get(
                 monitored_key, epoch_metrics.get("train/loss", float("nan"))
             )
-            self.ckpt.save(state, epoch, {monitored_key: monitored, **epoch_metrics})
+            is_last_epoch = epoch + 1 >= self.max_epochs
+            if (epoch + 1) % self.checkpoint_every_n_epochs == 0 or is_last_epoch:
+                self.ckpt.save(state, epoch, {monitored_key: monitored, **epoch_metrics})
 
             if self.plateau is not None and np.isfinite(monitored):
                 lr_mult = self.plateau.step(monitored, self.base_lr * lr_mult)
@@ -261,12 +332,33 @@ class Trainer:
         # export the best checkpoint (by the monitored metric) for inference,
         # falling back to the final state (reference exports the best too —
         # trainer.py:47-52)
+        self.ckpt.flush()  # drain any in-flight async write before restoring
         export_state = state
+        restored_best = False
         if self.ckpt.best is not None:
             try:
                 export_state = self.ckpt.restore(state)
+                restored_best = True
             except (FileNotFoundError, OSError):
                 pass
+        # post-fit evaluation of the best checkpoint (reference runs test_fn
+        # on the best ckpt after fit — trainer.py:36-45)
+        if (
+            restored_best
+            and self.val_loader is not None
+            and self.config.get("eval_best", True)
+        ):
+            from ..parallel.prefetch import device_prefetch
+
+            bacc = MetricAccumulator()
+            for batch in device_prefetch(self.val_loader, self.mesh):
+                bacc.add(self.eval_step(export_state, flame, batch))
+            best_metrics = {f"best/{k}": v for k, v in bacc.means().items()}
+            self.log_metrics(best_metrics, host_step)
+            logger.info(
+                "best-checkpoint eval: %s",
+                {k: round(v, 4) for k, v in best_metrics.items() if "nme" in k or k == "best/loss"},
+            )
         export_path = self.ckpt.export_inference(export_state)
         logger.info("exported inference checkpoint to %s", export_path)
         return state

@@ -62,6 +62,53 @@ def make_grid(images: np.ndarray, cols: int = 4) -> np.ndarray:
     return grid
 
 
+def _as_uint8(img: np.ndarray, normalize: str) -> np.ndarray:
+    """Batches may carry uint8 images (device-side normalization path)."""
+    return img if img.dtype == np.uint8 else denormalize_image(img, normalize)
+
+
+def heatmap_overlay(
+    image: np.ndarray, heatmap: np.ndarray, alpha: float = 0.5
+) -> np.ndarray:
+    """Blend the max-over-channels heatmap (red) onto a uint8 RGB image.
+
+    The reference logs raw heatmap grids (mixins.py:120-171); an overlay on
+    the input makes mislocalized peaks visible at a glance."""
+    hm = heatmap.astype(np.float32)
+    if hm.ndim == 3:  # (H, W, C) -> max over keypoint channels
+        hm = hm.max(axis=-1)
+    peak = hm.max()
+    if peak > 0:
+        hm = hm / peak
+    import cv2
+
+    hm = cv2.resize(hm, (image.shape[1], image.shape[0]))
+    out = image.astype(np.float32)
+    out[..., 0] = out[..., 0] * (1.0 - alpha * hm) + 255.0 * alpha * hm
+    out[..., 1] *= 1.0 - alpha * hm
+    out[..., 2] *= 1.0 - alpha * hm
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def heatmap_panel_from_batch(
+    batch: Dict[str, np.ndarray],
+    outputs: Dict[str, np.ndarray],
+    max_images: int = 8,
+    normalize: str = "imagenet",
+) -> np.ndarray:
+    """Grid of input images with the predicted heatmap (sigmoid, max over
+    channels) blended in red."""
+    from ..constants import OUTPUT_LANDMARKS_HEATMAP
+
+    imgs = np.asarray(batch[INPUT_IMAGE_KEY])[:max_images]
+    logits = np.asarray(outputs[OUTPUT_LANDMARKS_HEATMAP])[:max_images]
+    probs = 1.0 / (1.0 + np.exp(-logits.astype(np.float32)))
+    panels = []
+    for i in range(len(imgs)):
+        panels.append(heatmap_overlay(_as_uint8(imgs[i], normalize), probs[i]))
+    return make_grid(np.stack(panels))
+
+
 def landmarks_panel_from_batch(
     batch: Dict[str, np.ndarray],
     outputs: Dict[str, np.ndarray],
@@ -76,6 +123,6 @@ def landmarks_panel_from_batch(
     pred = np.asarray(outputs[OUTPUT_2D_LANDMARKS])[:max_images] * img_size
     panels = []
     for i in range(len(imgs)):
-        img = denormalize_image(imgs[i], normalize)
+        img = _as_uint8(imgs[i], normalize)
         panels.append(draw_keypoints_panel(img, pred[i], gt[i]))
     return make_grid(np.stack(panels))

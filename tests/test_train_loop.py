@@ -83,6 +83,49 @@ def test_checkpoint_top_k(tmp_path):
     np.testing.assert_array_equal(np.asarray(last["w"]), np.arange(4.0) + 3)
 
 
+def test_checkpoint_async_roundtrip(tmp_path):
+    """Async mode: writes land after flush(); restore/best drain the queue."""
+    mgr = CheckpointManager(str(tmp_path), monitor="m", mode="min", save_top_k=2,
+                            async_save=True)
+    for epoch, m in enumerate([5.0, 3.0, 4.0]):
+        mgr.save({"w": jnp.arange(4.0) + epoch}, epoch, {"m": m})
+    assert mgr.best["value"] == 3.0  # property flushes
+    restored = mgr.restore({"w": jnp.zeros(4)})  # best = epoch 1
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.arange(4.0) + 1)
+    last = mgr.restore_last({"w": jnp.zeros(4)})
+    np.testing.assert_array_equal(np.asarray(last["w"]), np.arange(4.0) + 2)
+
+
+def test_checkpoint_weights_only_top_k(tmp_path):
+    """Top-k checkpoints store weights only (reference ModelCheckpoint
+    weights_only); restore grafts them onto the template TrainState."""
+    import optax
+
+    from dad3dheads_tpu.train.state import TrainState
+
+    tx = optax.adam(1e-3)
+    params = {"w": jnp.ones(3)}
+    state = TrainState(
+        params=params,
+        batch_stats={"bn": jnp.zeros(2)},
+        opt_state=tx.init(params),
+        step=jnp.asarray(7, jnp.int32),
+        epoch=jnp.asarray(1, jnp.int32),
+    )
+    mgr = CheckpointManager(str(tmp_path), monitor="m", mode="min", save_top_k=1)
+    mgr.save(state.replace(params={"w": jnp.full(3, 2.0)}), 0, {"m": 1.0})
+
+    template = state.replace(step=jnp.asarray(99, jnp.int32))
+    restored = mgr.restore(template)
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]), 2.0)
+    assert int(restored.step) == 99  # template's optimizer state/step kept
+    # weights-only file is smaller than the full state in last.msgpack
+    top_k_file = mgr.best["path"]
+    assert os.path.getsize(top_k_file) < os.path.getsize(
+        os.path.join(str(tmp_path), "last.msgpack")
+    )
+
+
 def test_trainer_fit_synthetic(tmp_path):
     """Two-epoch fit on synthetic data end-to-end (tiny net shapes)."""
     from dad3dheads_tpu.cli.train import SyntheticLoader
@@ -104,19 +147,39 @@ def test_trainer_fit_synthetic(tmp_path):
         "experiment_dir": str(tmp_path / "exp"),
         "save_top_k": 2,
         "early_stopping": 5,
+        "images_log_freq": 2,
     }
+
+    class FakeTB:  # records what the Trainer logs to TensorBoard
+        def __init__(self):
+            self.scalars, self.images = [], []
+
+        def add_scalar(self, tag, value, step):
+            self.scalars.append((tag, value, step))
+
+        def add_image(self, tag, img, step, dataformats="HWC"):
+            assert img.ndim == 3 and img.dtype == np.uint8, (tag, img.shape, img.dtype)
+            self.images.append((tag, img.shape, step))
+
     # batch must divide the 8-device data axis
     loader = SyntheticLoader(flame, emb, batch_size=8, img_size=64, steps=2)
     val = SyntheticLoader(flame, emb, batch_size=8, img_size=64, steps=1, seed=9)
     trainer = Trainer(model, config, loader, val, flame=flame)
+    trainer._tb = FakeTB()
     state = trainer.fit()
     assert int(state.step) == 4  # 2 epochs x 2 steps
 
-    # metrics were logged
+    # image panels were logged at the configured frequency (steps 2 and 4)
+    panel_tags = {t for t, _, _ in trainer._tb.images}
+    assert panel_tags == {"train/landmarks", "train/heatmap"}
+    assert len(trainer._tb.images) == 4
+
+    # metrics were logged; the final line is the post-fit best-ckpt eval
     with open(tmp_path / "exp" / "metrics.jsonl") as f:
         lines = [json.loads(l) for l in f]
-    assert len(lines) == 2
-    assert "train/loss" in lines[-1] and "valid/loss" in lines[-1]
+    assert len(lines) == 3
+    assert "train/loss" in lines[1] and "valid/loss" in lines[1]
+    assert "best/loss" in lines[-1] and "best/metrics/reproject_nme_2d" in lines[-1]
 
     # checkpoints + inference export exist
     ckpt_dir = tmp_path / "exp" / "checkpoints"
