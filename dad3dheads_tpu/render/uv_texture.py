@@ -6,10 +6,21 @@ a (res x res) UV map, precomputed (triangle id, barycentric weights) sample
 the *projected* mesh to get an image coordinate, then bilinearly sample the
 image there. The reference's per-texel embedding (``texture_data.npy``) and
 its FLAME UV layout (``generic_model.pkl``) are absent LFS blobs upstream; a
-licensed FLAME UV table can be supplied via ``uv_data_path`` (an .npz with
-``tri_id`` (res, res) int32 [-1 = empty] and ``bary`` (res, res, 3)).
-Without it, a deterministic fallback UV atlas is derived from a spherical
-unwrap of the template so the API stays functional end-to-end.
+licensed FLAME texture-space asset can be supplied via ``uv_data_path``
+(``DAD3D_UV_DATA_PATH``) in any of three forms:
+
+  * an ``.npz`` with a precomputed table — ``tri_id`` (res, res) int32
+    [-1 = empty] and ``bary`` (res, res, 3);
+  * an ``.npz`` with the raw FLAME UV layout — ``vt`` (Vt, 2) texture
+    coordinates in [0, 1] (OBJ convention, v up) and ``ft`` (F, 3) int
+    per-face texture-vertex indices, row-aligned with the mesh faces — the
+    per-texel table is then built here by rasterizing the UV-space triangles
+    with this repo's own rasterizer (the same computation that produced the
+    reference's ``texture_data.npy`` offline);
+  * a FLAME template ``.obj`` carrying ``vt`` / ``f v/vt`` records.
+
+Without any of these, a deterministic fallback UV atlas is derived from a
+spherical unwrap of the template so the API stays functional end-to-end.
 """
 
 from __future__ import annotations
@@ -21,6 +32,62 @@ import numpy as np
 
 from .. import assets
 from ..core.head_mesh import HeadMesh
+
+
+def uv_embedding_from_layout(
+    vt: np.ndarray, ft: np.ndarray, resolution: int = 256
+):
+    """Per-texel (triangle, barycentric) table from a FLAME UV layout.
+
+    ``vt`` are texture coordinates in [0, 1] (OBJ convention: v grows upward),
+    ``ft`` indexes ``vt`` per face corner, row-aligned with the mesh faces, so
+    the rasterized triangle ids index straight into the mesh ``faces`` array.
+    UV charts never overlap, so depth is a constant and the z-buffer argmax
+    reduces to plain coverage.
+    """
+    import jax.numpy as jnp
+
+    from .rasterizer import rasterize_buffers
+
+    vt = np.asarray(vt, np.float32)
+    ft = np.asarray(ft, np.int64)
+    u = vt[:, 0] * (resolution - 1)
+    v = (1.0 - vt[:, 1]) * (resolution - 1)  # OBJ v-up -> image row-down
+    uv_verts = np.stack([u, v, np.ones_like(u)], axis=1).astype(np.float32)
+
+    depth, tri_id, bary = rasterize_buffers(
+        jnp.asarray(uv_verts), jnp.asarray(ft, jnp.int32), resolution, resolution,
+        tile_rows=32 if resolution % 32 == 0 else 1,
+    )
+    return np.asarray(tri_id), np.asarray(bary)
+
+
+def parse_obj_uv_layout(path: str):
+    """Extract (vt, ft) from an OBJ file with ``vt`` and ``f v/vt`` records.
+
+    Returns None if the file carries no texture coordinates. Only the
+    texture-index slot of each face corner is read; faces without one are
+    rejected (the table must stay row-aligned with the mesh faces).
+    """
+    vts, fts = [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "vt":
+                vts.append((float(parts[1]), float(parts[2])))
+            elif parts[0] == "f":
+                corner_ts = []
+                for corner in parts[1:4]:
+                    fields = corner.split("/")
+                    if len(fields) < 2 or not fields[1]:
+                        return None
+                    corner_ts.append(int(fields[1]) - 1)  # OBJ is 1-indexed
+                fts.append(corner_ts)
+    if not vts or not fts:
+        return None
+    return np.asarray(vts, np.float32), np.asarray(fts, np.int64)
 
 
 def spherical_uv_embedding(
@@ -60,9 +127,23 @@ class UVTextureCreator:
 
         uv_data_path = uv_data_path or os.environ.get("DAD3D_UV_DATA_PATH")
         if uv_data_path and os.path.isfile(uv_data_path):
-            with np.load(uv_data_path) as z:
-                self.tri_id, self.bary = z["tri_id"], z["bary"]
-            self.resolution = self.tri_id.shape[0]
+            if uv_data_path.endswith(".obj"):
+                layout = parse_obj_uv_layout(uv_data_path)
+                if layout is None:
+                    raise ValueError(
+                        f"{uv_data_path} carries no per-corner texture "
+                        "coordinates (vt / f v/vt records)"
+                    )
+                self.tri_id, self.bary = uv_embedding_from_layout(*layout, resolution)
+            else:
+                with np.load(uv_data_path) as z:
+                    if "tri_id" in z:
+                        self.tri_id, self.bary = z["tri_id"], z["bary"]
+                        self.resolution = self.tri_id.shape[0]
+                    else:
+                        self.tri_id, self.bary = uv_embedding_from_layout(
+                            z["vt"], z["ft"], resolution
+                        )
         else:
             self.tri_id, self.bary = spherical_uv_embedding(
                 np.asarray(self.head_mesh.model.v_template), self.faces, resolution
