@@ -1,0 +1,213 @@
+"""AOT deployment artifact: the TPU-native equivalent of the reference's
+TorchScript ``.trcd`` trace.
+
+The reference exports its trained network with ``torch.jit.trace`` and the
+predictor loads that blob without the model source
+(/root/reference/model_training/train/flame_lightning_model.py:384-401,
+/root/reference/predictor.py:72). Here the same capability is built on
+``jax.export``: the jitted forward pipeline (CNN -> landmarks + 3DMM) and the
+FLAME decode (3DMM -> mesh + reprojection) are serialized as StableHLO with a
+*symbolic batch dimension* and multi-platform lowerings (TPU + CPU), packed
+together with the weights and the FLAME constants into a single ``.npz``
+archive. ``ExportedFaceMeshPredictor`` runs predictions from that one file —
+no flax model definition, no FLAME assets, no configs required at the
+deployment site.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+from ..constants import (
+    FLAME_CONSTS,
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    OUTPUT_2D_LANDMARKS,
+    OUTPUT_3DMM_PARAMS,
+    OUTPUT_LANDMARKS_HEATMAP,
+)
+from ..core.flame import FlameModel, FlameParams, flame_decode
+from ..core.rotation import rot_mat_from_6dof
+
+_FORMAT_VERSION = 1
+
+
+def _pipeline_outputs(out, stride: int, img_size: int):
+    """Landmark decode shared with FaceMeshPredictor._device_pipeline."""
+    if OUTPUT_2D_LANDMARKS in out:
+        landmarks = out[OUTPUT_2D_LANDMARKS] * float(img_size)
+    else:
+        heatmap = out[OUTPUT_LANDMARKS_HEATMAP]
+        B, H, W, C = heatmap.shape
+        flat = jax.nn.sigmoid(heatmap).reshape(B, H * W, C)
+        idx = jnp.argmax(flat, axis=1)
+        landmarks = (
+            jnp.stack([idx % W, idx // W], axis=-1).astype(jnp.float32) * stride
+        )
+    landmarks = jnp.clip(landmarks, 0, img_size)
+    return {"landmarks": landmarks, "3dmm": out[OUTPUT_3DMM_PARAMS]}
+
+
+def _decode_fn(flame, params_3dmm, consts: Dict[str, int], img_size: int):
+    """FLAME decode shared with FaceMeshPredictor._decode_3dmm."""
+    params = FlameParams.from_3dmm(params_3dmm, consts)
+    v0 = flame_decode(flame, params, zero_rot=True)
+    R = rot_mat_from_6dof(params.rotation)
+    v = jnp.einsum("bxy,bvy->bvx", R, v0, precision=jax.lax.Precision.HIGHEST)
+    scale = jnp.clip(params.scale[:, None] + 1.0, min=1e-8)
+    t = params.translation.at[..., 2].set(0.0)
+    proj = (v * scale + t[:, None] + 1.0) / 2.0 * img_size
+    return v, proj[..., :2]
+
+
+def export_predictor(
+    model,
+    variables,
+    flame: FlameModel,
+    path: str,
+    img_size: int = 256,
+    stride: int = 4,
+    constants: Optional[Dict[str, int]] = None,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+) -> str:
+    """Serialize the full predictor compute into one self-contained archive.
+
+    Two StableHLO programs are exported, matching the predictor's two device
+    functions (forward must run before the host-side 3DMM readjustment, the
+    decode after it):
+
+      * ``pipeline(weights, images_f32) -> (landmarks, 3dmm)``
+      * ``decode(flame_leaves, 3dmm) -> (vertices_3d, projected_2d)``
+
+    Both carry a symbolic batch dimension, so one artifact serves any batch
+    size. Weights travel as arguments (flattened leaves stored alongside),
+    not baked constants — the loader streams them straight from the archive.
+    """
+    constants = dict(constants or FLAME_CONSTS)
+    w_leaves, w_def = jax.tree_util.tree_flatten(variables)
+    f_leaves, f_def = jax.tree_util.tree_flatten(flame)
+
+    def pipeline(weights, images):
+        out = model.apply(jax.tree_util.tree_unflatten(w_def, weights), images, train=False)
+        res = _pipeline_outputs(out, stride, img_size)
+        return res["landmarks"], res["3dmm"]
+
+    def decode(flame_leaves, params_3dmm):
+        fl = jax.tree_util.tree_unflatten(f_def, flame_leaves)
+        return _decode_fn(fl, params_3dmm, constants, img_size)
+
+    (b,) = jax_export.symbolic_shape("b")
+    img_sds = jax.ShapeDtypeStruct((b, img_size, img_size, 3), jnp.float32)
+    mm_sds = jax.ShapeDtypeStruct((b, sum(constants.values())), jnp.float32)
+    sds = lambda leaves: [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in leaves]
+
+    exp_pipe = jax_export.export(jax.jit(pipeline), platforms=tuple(platforms))(
+        sds(w_leaves), img_sds
+    )
+    exp_dec = jax_export.export(jax.jit(decode), platforms=tuple(platforms))(
+        sds(f_leaves), mm_sds
+    )
+
+    meta = {
+        "format_version": _FORMAT_VERSION,
+        "img_size": img_size,
+        "stride": stride,
+        "constants": constants,
+        "platforms": list(platforms),
+        "jax_version": jax.__version__,
+        "n_weight_leaves": len(w_leaves),
+        "n_flame_leaves": len(f_leaves),
+    }
+    arrays: Dict[str, np.ndarray] = {
+        "stablehlo_pipeline": np.frombuffer(exp_pipe.serialize(), np.uint8),
+        "stablehlo_decode": np.frombuffer(exp_dec.serialize(), np.uint8),
+        "meta": np.frombuffer(json.dumps(meta).encode(), np.uint8),
+    }
+    for i, x in enumerate(w_leaves):
+        arrays[f"w{i:04d}"] = np.asarray(x)
+    for i, x in enumerate(f_leaves):
+        arrays[f"f{i:04d}"] = np.asarray(x)
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
+    return path
+
+
+class ExportedFaceMeshPredictor:
+    """FaceMeshPredictor-compatible inference from one exported archive.
+
+    Mirrors the reference's ``torch.jit.load(.trcd)`` deployment: the archive
+    carries the compiled programs and the weights; this class adds only the
+    host-side pre/postprocessing (resize, normalize, readjustment to the
+    original image frame)."""
+
+    def __init__(self, path: str, resize_mode: str = "longest_max_size"):
+        with np.load(path) as z:
+            meta = json.loads(bytes(z["meta"]).decode())
+            if meta["format_version"] > _FORMAT_VERSION:
+                raise ValueError(
+                    f"archive format v{meta['format_version']} is newer than "
+                    f"this loader (v{_FORMAT_VERSION})"
+                )
+            self._pipe = jax_export.deserialize(bytes(z["stablehlo_pipeline"]))
+            self._dec = jax_export.deserialize(bytes(z["stablehlo_decode"]))
+            self._weights = [
+                jnp.asarray(z[f"w{i:04d}"]) for i in range(meta["n_weight_leaves"])
+            ]
+            self._flame = [
+                jnp.asarray(z[f"f{i:04d}"]) for i in range(meta["n_flame_leaves"])
+            ]
+        self.meta = meta
+        self._img_size = int(meta["img_size"])
+        self.flame_constants = dict(meta["constants"])
+        self._resize_mode = resize_mode
+        self._pipe_call = jax.jit(lambda w, x: self._pipe.call(w, x))
+        self._dec_call = jax.jit(lambda f, mm: self._dec.call(f, mm))
+
+    def __call__(self, image: np.ndarray) -> Dict[str, Any]:
+        """RGB uint8 (H, W, 3) -> prediction dict in original-image coords."""
+        from ..ops.preprocess import (
+            preprocess_image_np,
+            readjust_3dmm_np,
+            readjust_landmarks_np,
+        )
+
+        tensor, scale, paddings = preprocess_image_np(
+            image, self._img_size, mode=self._resize_mode
+        )
+        landmarks, pred_3dmm = self._pipe_call(self._weights, jnp.asarray(tensor[None]))
+        landmarks = readjust_landmarks_np(np.asarray(landmarks[0]), paddings, scale)
+        pred_3dmm = readjust_3dmm_np(
+            np.asarray(pred_3dmm), paddings, scale, self._img_size, self.flame_constants
+        )
+        vertices_3d, projected = self._dec_call(self._flame, jnp.asarray(pred_3dmm))
+        return {
+            "points": np.reshape(landmarks, (-1, 2)),
+            "projected_vertices": np.asarray(projected),
+            "3d_vertices": np.asarray(vertices_3d[0]),
+            "3dmm_params": pred_3dmm,
+        }
+
+    def predict_batch(self, images: np.ndarray) -> Dict[str, Any]:
+        """Batched prediction on pre-sized square inputs (B, S, S, 3), uint8
+        or fp32-normalized. Network-frame outputs (no readjustment)."""
+        if images.dtype == np.uint8:
+            mean = np.asarray(IMAGENET_MEAN, np.float32) * 255.0
+            std = np.asarray(IMAGENET_STD, np.float32) * 255.0
+            images = (images.astype(np.float32) - mean) / std
+        landmarks, pred_3dmm = self._pipe_call(self._weights, jnp.asarray(images))
+        vertices_3d, projected = self._dec_call(self._flame, pred_3dmm)
+        return {
+            "points": np.asarray(landmarks),
+            "projected_vertices": np.asarray(projected),
+            "3d_vertices": np.asarray(vertices_3d),
+            "3dmm_params": np.asarray(pred_3dmm),
+        }

@@ -97,7 +97,11 @@ class FaceMeshPredictor:
         config: Optional[Dict[str, Any]] = None,
         checkpoint_path: Optional[str] = None,
         flame_path: Optional[str] = None,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis —
+        ``predict_batch`` then shards the batch over it (weights replicated),
+        scaling serving throughput across chips with no other changes."""
         self.config = {**DEFAULT_CONFIG, **(config or {})}
         self._img_size = int(self.config["img_size"])
         self._stride = int(self.config.get("stride", 4))
@@ -107,6 +111,12 @@ class FaceMeshPredictor:
 
         self.model = create_model(self.config["model"])
         self.variables = self._init_or_load(checkpoint_path)
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+
+            self.variables = replicate(self.variables, mesh)
+            self.flame = replicate(self.flame, mesh)
 
     # -- weights -----------------------------------------------------------
     def _init_or_load(self, checkpoint_path: Optional[str]):
@@ -131,6 +141,12 @@ class FaceMeshPredictor:
     @staticmethod
     @functools.partial(jax.jit, static_argnames=("model_def", "stride", "img_size"))
     def _device_pipeline(model_def, variables, images, stride, img_size):
+        if images.dtype == jnp.uint8:
+            # uint8 batches normalize in-graph (one jit, partitions trivially
+            # when the batch is sharded over a mesh)
+            from ..ops.preprocess import normalize_batch_jax
+
+            images = normalize_batch_jax(images)
         out = model_def.apply(variables, images, train=False)
 
         if OUTPUT_2D_LANDMARKS in out:
@@ -203,7 +219,18 @@ class FaceMeshPredictor:
         """Batched prediction on pre-sized square inputs (B, S, S, 3) uint8 or
         fp32-normalized. Returns network-frame outputs (no per-image
         readjustment)."""
-        if images.dtype == np.uint8:
+        B = images.shape[0]
+        pad = 0
+        if self.mesh is not None:
+            # shard the (4x-smaller if uint8) batch over the data axis; the
+            # jitted pipeline normalizes in-graph
+            from ..parallel.mesh import pad_batch_to_devices, shard_batch
+
+            pad = pad_batch_to_devices(B, self.mesh) - B
+            if pad:
+                images = np.concatenate([images, images[-1:].repeat(pad, 0)], 0)
+            x = shard_batch(jnp.asarray(images), self.mesh)
+        elif images.dtype == np.uint8:
             from ..ops.preprocess_pallas import normalize_images
 
             x = normalize_images(jnp.asarray(images))
@@ -216,17 +243,20 @@ class FaceMeshPredictor:
         vertices_3d, projected = self._decode_3dmm(
             self.flame, dev["3dmm"], consts_key, self._img_size
         )
-        return {
+        out = {
             "points": np.asarray(dev["landmarks"]),
             "projected_vertices": np.asarray(projected),
             "3d_vertices": np.asarray(vertices_3d),
             "3dmm_params": np.asarray(dev["3dmm"]),
         }
+        if pad:
+            out = {k: v[:B] for k, v in out.items()}
+        return out
 
     @classmethod
-    def dad_3dnet(cls, checkpoint_path: Optional[str] = None) -> "FaceMeshPredictor":
+    def dad_3dnet(cls, checkpoint_path: Optional[str] = None, **kwargs) -> "FaceMeshPredictor":
         """The flagship predictor (reference: FaceMeshPredictor.dad_3dnet)."""
-        return cls(DEFAULT_CONFIG, checkpoint_path=checkpoint_path)
+        return cls(DEFAULT_CONFIG, checkpoint_path=checkpoint_path, **kwargs)
 
     @classmethod
     def from_yaml(cls, path: str) -> "FaceMeshPredictor":

@@ -140,7 +140,8 @@ def readjust_3dmm_np(
 
 
 def normalize_batch_jax(images_u8, normalize: str = "imagenet"):
-    """Device-side uint8 NHWC batch -> normalized fp32 (jit-friendly)."""
+    """Device-side uint8 NHWC batch -> normalized fp32 (jit-friendly; on a
+    sharded batch the elementwise math partitions with no collectives)."""
     import jax.numpy as jnp
 
     x = images_u8.astype(jnp.float32) / 255.0

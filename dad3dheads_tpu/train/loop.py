@@ -361,4 +361,21 @@ class Trainer:
             )
         export_path = self.ckpt.export_inference(export_state)
         logger.info("exported inference checkpoint to %s", export_path)
+        # optional AOT artifact (StableHLO + weights, the .trcd equivalent —
+        # reference: flame_lightning_model.py:384-401); off by default since
+        # the msgpack export above already serves the in-repo predictor
+        if self.config.get("export_aot", False):
+            from ..api.export import export_predictor
+
+            aot_path = export_path.rsplit(".", 1)[0] + ".aot.npz"
+            variables = {
+                "params": export_state.params,
+                "batch_stats": export_state.batch_stats,
+            }
+            platforms = ("tpu", "cpu") if jax.default_backend() == "tpu" else ("cpu",)
+            export_predictor(
+                self.model, variables, flame, aot_path,
+                img_size=self.img_size, platforms=platforms,
+            )
+            logger.info("exported AOT inference artifact to %s", aot_path)
         return state

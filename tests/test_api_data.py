@@ -35,6 +35,28 @@ def test_predictor_batch(predictor, rng):
     assert out["3d_vertices"].shape == (2, 5023, 3)
 
 
+def test_predictor_batch_sharded_matches_single_device(predictor, rng):
+    """predict_batch over an 8-device data mesh == the unsharded result,
+    including the odd-batch padding round-trip (B=5 on 8 devices)."""
+    import jax
+
+    from dad3dheads_tpu.api import FaceMeshPredictor
+    from dad3dheads_tpu.parallel.mesh import make_mesh
+
+    sharded = FaceMeshPredictor.dad_3dnet(mesh=make_mesh(jax.devices()))
+    # reuse the module predictor's (random-init) weights for comparability
+    from dad3dheads_tpu.parallel.mesh import replicate
+
+    sharded.variables = replicate(predictor.variables, sharded.mesh)
+
+    imgs = (rng.uniform(size=(5, 256, 256, 3)) * 255).astype(np.uint8)
+    ref = predictor.predict_batch(imgs)
+    got = sharded.predict_batch(imgs)
+    for k in ref:
+        assert got[k].shape == ref[k].shape, k
+        np.testing.assert_allclose(got[k], ref[k], rtol=2e-4, atol=2e-4, err_msg=k)
+
+
 def test_checkpoint_roundtrip(predictor, tmp_path):
     from dad3dheads_tpu.api import FaceMeshPredictor, save_predictor_checkpoint
 

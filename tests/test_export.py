@@ -1,0 +1,92 @@
+"""AOT deployment artifact tests: export -> load -> numerical parity with the
+live predictor, batch-size polymorphism, and self-containedness (the loader
+touches neither model code nor FLAME assets).
+
+Reference parity target: torch.jit.trace export + torch.jit.load deployment
+(/root/reference/model_training/train/flame_lightning_model.py:384-401,
+/root/reference/predictor.py:72)."""
+
+import json
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def exported(tmp_path_factory):
+    from dad3dheads_tpu.api.export import export_predictor
+    from dad3dheads_tpu.api.predictor import FaceMeshPredictor
+
+    cfg = {
+        "img_size": 128,
+        "stride": 4,
+        "model": {"backbone": "mobilenet_w1", "num_classes": 68, "num_filters": 64},
+    }
+    predictor = FaceMeshPredictor(cfg)
+    path = str(tmp_path_factory.mktemp("export") / "dad3dnet.aot.npz")
+    export_predictor(
+        predictor.model,
+        predictor.variables,
+        predictor.flame,
+        path,
+        img_size=128,
+        stride=4,
+        platforms=("cpu",),  # CI runs on the CPU backend
+    )
+    return predictor, path
+
+
+def test_exported_matches_live_predictor(exported, rng):
+    from dad3dheads_tpu.api.export import ExportedFaceMeshPredictor
+
+    predictor, path = exported
+    loaded = ExportedFaceMeshPredictor(path)
+
+    image = (rng.uniform(size=(180, 150, 3)) * 255).astype(np.uint8)
+    ref = predictor(image)
+    got = loaded(image)
+    assert set(got) == {"points", "projected_vertices", "3d_vertices", "3dmm_params"}
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(ref[k]), rtol=1e-4, atol=1e-4, err_msg=k
+        )
+
+
+def test_exported_batch_polymorphism(exported, rng):
+    from dad3dheads_tpu.api.export import ExportedFaceMeshPredictor
+
+    _, path = exported
+    loaded = ExportedFaceMeshPredictor(path)
+    for batch in (1, 3):
+        images = (rng.uniform(size=(batch, 128, 128, 3)) * 255).astype(np.uint8)
+        out = loaded.predict_batch(images)
+        assert out["points"].shape == (batch, 68, 2)
+        assert out["3d_vertices"].shape == (batch, 5023, 3)
+        assert out["projected_vertices"].shape == (batch, 5023, 2)
+        assert out["3dmm_params"].shape == (batch, 413)
+        assert np.isfinite(out["3d_vertices"]).all()
+
+
+def test_exported_uint8_matches_f32(exported, rng):
+    from dad3dheads_tpu.api.export import ExportedFaceMeshPredictor
+    from dad3dheads_tpu.constants import IMAGENET_MEAN, IMAGENET_STD
+
+    _, path = exported
+    loaded = ExportedFaceMeshPredictor(path)
+    u8 = (rng.uniform(size=(2, 128, 128, 3)) * 255).astype(np.uint8)
+    f32 = (u8.astype(np.float32) / 255.0 - np.asarray(IMAGENET_MEAN, np.float32)) / np.asarray(
+        IMAGENET_STD, np.float32
+    )
+    a = loaded.predict_batch(u8)
+    b = loaded.predict_batch(f32)
+    np.testing.assert_allclose(a["3dmm_params"], b["3dmm_params"], atol=1e-4)
+
+
+def test_archive_metadata(exported):
+    _, path = exported
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["meta"]).decode())
+    assert meta["img_size"] == 128
+    assert meta["platforms"] == ["cpu"]
+    assert meta["constants"]["shape"] == 300
+    assert meta["n_weight_leaves"] > 0 and meta["n_flame_leaves"] > 0

@@ -148,6 +148,7 @@ def test_trainer_fit_synthetic(tmp_path):
         "save_top_k": 2,
         "early_stopping": 5,
         "images_log_freq": 2,
+        "export_aot": True,
     }
 
     class FakeTB:  # records what the Trainer logs to TensorBoard
@@ -186,7 +187,14 @@ def test_trainer_fit_synthetic(tmp_path):
     assert (ckpt_dir / "last.msgpack").exists()
     assert (ckpt_dir / "dad_3dnet.msgpack").exists()
 
+    # the AOT artifact loads and predicts without the model definition
+    from dad3dheads_tpu.api.export import ExportedFaceMeshPredictor
+
+    aot = ExportedFaceMeshPredictor(str(ckpt_dir / "dad_3dnet.aot.npz"))
+    out = aot.predict_batch(np.zeros((2, 64, 64, 3), np.uint8))
+    assert out["3d_vertices"].shape == (2, 5023, 3)
+
     # resume restores the step counter
-    trainer2 = Trainer(model, {**config, "max_epochs": 2}, loader, val, flame=flame)
+    trainer2 = Trainer(model, {**config, "max_epochs": 2, "export_aot": False}, loader, val, flame=flame)
     state2 = trainer2.fit(resume=True)
     assert int(state2.step) >= 4

@@ -1,0 +1,72 @@
+"""Export a trained checkpoint as a self-contained AOT inference artifact.
+
+The TPU-native analog of the reference's TorchScript export step
+(/root/reference/model_training/train/flame_lightning_model.py:384-401):
+
+  python tools/export_model.py --checkpoint exp/checkpoints/dad_3dnet.msgpack \
+      --out dad_3dnet.aot.npz [--img-size 256] [--backbone resnet50] \
+      [--platforms tpu cpu]
+
+The artifact carries the StableHLO programs (CNN forward + FLAME decode,
+symbolic batch dim) and the weights; load it anywhere with
+``dad3dheads_tpu.api.export.ExportedFaceMeshPredictor`` — no model code or
+FLAME assets needed at the deployment site.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--checkpoint", required=True, help="flax msgpack checkpoint")
+    ap.add_argument("--out", required=True, help="output .npz artifact path")
+    ap.add_argument("--img-size", type=int, default=256)
+    ap.add_argument("--stride", type=int, default=4)
+    ap.add_argument("--backbone", default="resnet50")
+    ap.add_argument("--num-filters", type=int, default=256)
+    ap.add_argument("--dtype", default="fp32", choices=["fp32", "bf16"])
+    ap.add_argument("--flame-path", default=None)
+    ap.add_argument(
+        "--platforms", nargs="+", default=["tpu", "cpu"],
+        help="lowering platforms baked into the artifact",
+    )
+    args = ap.parse_args()
+
+    from dad3dheads_tpu.api.export import export_predictor
+    from dad3dheads_tpu.api.predictor import FaceMeshPredictor
+
+    predictor = FaceMeshPredictor(
+        {
+            "img_size": args.img_size,
+            "stride": args.stride,
+            "model": {
+                "backbone": args.backbone,
+                "num_filters": args.num_filters,
+                "num_classes": 68,
+                "dtype": args.dtype,
+            },
+        },
+        checkpoint_path=args.checkpoint,
+        flame_path=args.flame_path,
+    )
+    path = export_predictor(
+        predictor.model,
+        predictor.variables,
+        predictor.flame,
+        args.out,
+        img_size=args.img_size,
+        stride=args.stride,
+        platforms=tuple(args.platforms),
+    )
+    size_mb = os.path.getsize(path) / 1e6
+    print(f"exported {path} ({size_mb:.1f} MB, platforms={args.platforms})")
+
+
+if __name__ == "__main__":
+    main()
