@@ -125,11 +125,15 @@ def main() -> None:
     )
 
 
-def _train_step_bench(batch: int = 64, iters: int = 8):
+def _train_step_bench(
+    batch: int = int(os.environ.get("BENCH_TRAIN_BATCH", 128)), iters: int = 8
+):
     """Full train-step throughput (forward + 4 losses over one shared FLAME
     decode + backward + adam), same traced-iteration methodology. Recorded in
     the round artifact so training perf is tracked alongside inference
-    (reference trains as its primary function — train.py:40-44)."""
+    (reference trains as its primary function — train.py:40-44). Batch 128 is
+    the measured single-chip sweet spot (64: 1,116 / 128: 1,173 / 256: 1,086
+    img/s on v5e)."""
     import jax
     import jax.numpy as jnp
 

@@ -107,7 +107,10 @@ def blend_shapes_fused(
     V = v_template.shape[0]
     N = V * 3
     platform = jax.default_backend()
-    if force_xla or platform not in ("tpu",):
+    # a symbolic batch dim (jax.export shape polymorphism) cannot drive the
+    # concrete Pallas block sizing below — use the XLA matmul, which lowers
+    # polymorphically
+    if force_xla or platform not in ("tpu",) or not isinstance(B, int):
         out = (
             jnp.dot(
                 betas,

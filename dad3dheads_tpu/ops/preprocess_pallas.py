@@ -20,7 +20,8 @@ from ..constants import IMAGENET_MEAN, IMAGENET_STD
 
 
 def _kernel(img_ref, scale_ref, bias_ref, out_ref):
-    x = img_ref[:].astype(jnp.float32)
+    # Mosaic has no direct uint8->f32 cast; hop through int32
+    x = img_ref[:].astype(jnp.int32).astype(jnp.float32)
     # x/255/std - mean/std  ==  x * scale + bias, scale/bias per channel
     out_ref[:] = x * scale_ref[:] + bias_ref[:]
 
