@@ -136,26 +136,34 @@ class DAD3DNet(nn.Module):
         self.pose_head = ClassificationHead(self.pose_output_size, dtype=jnp.float32)
         self.landmarks_head = ClassificationHead(self.num_classes * 2, dtype=jnp.float32)
 
-    def __call__(self, x: jax.Array, train: bool = False) -> Dict[str, jax.Array]:
-        feats = self.encoder.stages_backbone(x, train)  # stages 0..3
+    def neck(self, feats, train: bool = False):
+        """BiFPN + heatmap head + fusion on the encoder taps. Split out so the
+        int8 pipeline (models/quantized.py) can reuse the exact flax neck
+        around its quantized encoder stages."""
         pyramid = self.bifpn(feats[1:], train)
         heatmap = self.head_conv(pyramid[0])
-
         fmap = self.fusion(feats[-1], heatmap, pyramid[2], train)
-        fmap = self.encoder.final_stage(fmap, train)
+        return heatmap, fmap
 
+    def heads(self, heatmap, fmap, train: bool = False) -> Dict[str, jax.Array]:
+        """The three regression heads over the final encoder map."""
         fmap = fmap.astype(jnp.float32)
         shape = jnp.tanh(self.shape_head(fmap, train)) * self.limit_value
         pose = self.pose_head(fmap, train)
         landmarks = nn.relu(self.landmarks_head(fmap, train))
         B = landmarks.shape[0]
         landmarks = landmarks.reshape(B, self.num_classes, 2)
-
         return {
             OUTPUT_LANDMARKS_HEATMAP: heatmap.astype(jnp.float32),
             OUTPUT_3DMM_PARAMS: jnp.concatenate([shape, pose], axis=-1),
             OUTPUT_2D_LANDMARKS: landmarks,
         }
+
+    def __call__(self, x: jax.Array, train: bool = False) -> Dict[str, jax.Array]:
+        feats = self.encoder.stages_backbone(x, train)  # stages 0..3
+        heatmap, fmap = self.neck(feats, train)
+        fmap = self.encoder.final_stage(fmap, train)
+        return self.heads(heatmap, fmap, train)
 
 
 def load_model(

@@ -1,0 +1,383 @@
+"""int8 post-training-quantized inference pipeline for DAD-3DNet (resnet50).
+
+The encoder trunk (56% of device time, measured — see README roofline) and
+the BiFPN (34%) run as functional int8 mirrors of ``models/resnet.py`` /
+``models/bifpn.py``: BatchNorm (and the BiFPN depthwise scales) folded into
+each conv, weights quantized per-output-channel, activations per-tensor with
+calibrated scales, and **int8-resident activations between layers** so
+inter-layer HBM traffic halves. The heatmap head, fusion layer, and
+regression heads run through the regular flax modules, and the mirrors have
+an fp mode that is parity-tested against the flax model.
+
+Modes:
+  "fp"    — folded-BN fp forward (parity / debugging)
+  "calib" — fp forward that also returns the running max |x| at every
+            quantization site (run over a few batches, tree-max the results)
+  "int8"  — quantized forward using a calibrated amax dict
+
+No reference counterpart: the reference runs precision 32 everywhere
+(/root/reference/model_training/config/backend/1gpu.yaml:5); this is
+TPU-native headroom beyond parity, opt-in via ``quant_amax`` in the
+predictor/bench.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .bifpn import BIFPN_BN_EPS, _resize_nearest
+from .quant import (
+    QTensor,
+    _amax_scale,
+    add_relu_requant,
+    conv_int8,
+    dequantize,
+    fold_bn,
+    quantize,
+    quantize_weights_per_channel,
+)
+from .resnet import BN_EPS
+
+# stage layout of resnet50: (units, stride) — resnet.py:113-116
+_STAGES = (("stage1", 3, 1), ("stage2", 4, 2), ("stage3", 6, 2), ("stage4", 3, 2))
+
+
+def _folded(params: Dict, stats: Dict):
+    """ConvBN params -> (BN-folded kernel, bias)."""
+    bn_p, bn_s = params["BatchNorm_0"], stats["BatchNorm_0"]
+    return fold_bn(
+        params["Conv_0"]["kernel"].astype(jnp.float32),
+        bn_p["scale"].astype(jnp.float32),
+        bn_p["bias"].astype(jnp.float32),
+        bn_s["mean"].astype(jnp.float32),
+        bn_s["var"].astype(jnp.float32),
+        BN_EPS,
+    )
+
+
+class _Ctx:
+    """Carries mode + the amax dict through the mirror."""
+
+    def __init__(self, mode: str, amax: Optional[Dict[str, jax.Array]], dtype):
+        assert mode in ("fp", "calib", "int8"), mode
+        self.mode = mode
+        self.amax = dict(amax or {})
+        self.dtype = dtype
+
+    def record(self, path: str, x: jax.Array) -> None:
+        if self.mode == "calib":
+            m = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            self.amax[path] = jnp.maximum(self.amax.get(path, jnp.zeros(())), m)
+
+    def scale(self, path: str) -> jax.Array:
+        return _amax_scale(self.amax[path])
+
+
+def _conv_fp(x, kernel, bias, stride, padding, relu, dtype):
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype),
+        kernel.astype(dtype),
+        (stride, stride),
+        padding,
+        dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    ) + bias
+    return jnp.maximum(y, 0.0).astype(dtype) if relu else y.astype(dtype)
+
+
+def _convbn(ctx: _Ctx, x, params, stats, path, kernel_size, stride, relu, q_out: bool):
+    """One ConvBN. fp/calib: fp in/out. int8: QTensor-or-fp in, QTensor out
+    when q_out else dense ctx.dtype."""
+    kernel, bias = _folded(params, stats)
+    pad = kernel_size // 2
+    padding = [(pad, pad), (pad, pad)]
+
+    if ctx.mode in ("fp", "calib"):
+        ctx.record(f"{path}/in", x)
+        y = _conv_fp(x, kernel, bias, stride, padding, relu, ctx.dtype)
+        ctx.record(f"{path}/out", y)
+        return y
+
+    xq = x if isinstance(x, QTensor) else quantize(x, ctx.scale(f"{path}/in"))
+    kq, wscale = quantize_weights_per_channel(kernel)
+    out_scale = ctx.scale(f"{path}/out") if q_out else None
+    return conv_int8(
+        xq, kq, wscale, bias, stride, padding,
+        out_scale=out_scale, relu=relu, out_dtype=ctx.dtype,
+    )
+
+
+def _bottleneck(ctx: _Ctx, x, params, stats, path, features, stride):
+    """resnet.py::Bottleneck mirror (1x1 -> 3x3/stride -> 1x1, residual)."""
+    inner_in = x.shape[-1] if not isinstance(x, QTensor) else x.values.shape[-1]
+    has_down = stride != 1 or inner_in != features
+
+    y = _convbn(ctx, x, params["ConvBN_0"], stats["ConvBN_0"], f"{path}/ConvBN_0", 1, 1, True, True)
+    y = _convbn(ctx, y, params["ConvBN_1"], stats["ConvBN_1"], f"{path}/ConvBN_1", 3, stride, True, True)
+    y = _convbn(ctx, y, params["ConvBN_2"], stats["ConvBN_2"], f"{path}/ConvBN_2", 1, 1, False, True)
+    if has_down:
+        identity = _convbn(
+            ctx, x, params["ConvBN_3"], stats["ConvBN_3"], f"{path}/ConvBN_3", 1, stride, False, True
+        )
+    else:
+        identity = x
+
+    if ctx.mode in ("fp", "calib"):
+        out = jnp.maximum(y + identity, 0.0).astype(ctx.dtype)
+        ctx.record(f"{path}/out", out)
+        return out
+    return add_relu_requant(y, identity, ctx.scale(f"{path}/out"))
+
+
+def _maxpool_3x3s2(x):
+    """init-block maxpool; works on int8 values directly (monotonic, scale
+    passes through). Pads with the dtype minimum like flax's max_pool."""
+    if isinstance(x, QTensor):
+        v = jax.lax.reduce_window(
+            x.values, jnp.asarray(jnp.iinfo(jnp.int8).min, jnp.int8), jax.lax.max,
+            (1, 3, 3, 1), (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)],
+        )
+        return QTensor(v, x.scale)
+    init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return jax.lax.reduce_window(
+        x, jnp.asarray(init, x.dtype), jax.lax.max,
+        (1, 3, 3, 1), (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+
+
+def _as_dense(ctx: _Ctx, x):
+    return dequantize(x, ctx.dtype) if isinstance(x, QTensor) else x
+
+
+def encoder_backbone(enc_params, enc_stats, x, ctx: _Ctx) -> List[jax.Array]:
+    """Stages 0..3 -> the four dense taps (resnet.py::stages_backbone)."""
+    h = _convbn(
+        ctx, x, enc_params["init_block"]["ConvBN_0"], enc_stats["init_block"]["ConvBN_0"],
+        "init_block/ConvBN_0", 7, 2, True, True,
+    )
+    h = _maxpool_3x3s2(h)
+    taps = [_as_dense(ctx, h)]
+    for name, units, stride in _STAGES[:3]:
+        sp, ss = enc_params[name], enc_stats[name]
+        feats = sp["Bottleneck_0"]["ConvBN_2"]["Conv_0"]["kernel"].shape[-1]
+        for i in range(units):
+            h = _bottleneck(
+                ctx, h, sp[f"Bottleneck_{i}"], ss[f"Bottleneck_{i}"],
+                f"{name}/Bottleneck_{i}", feats, stride if i == 0 else 1,
+            )
+        taps.append(_as_dense(ctx, h))
+    return taps
+
+
+def encoder_final(enc_params, enc_stats, fmap, ctx: _Ctx) -> jax.Array:
+    """Stage 4 on the fused map (resnet.py::final_stage)."""
+    name, units, stride = _STAGES[3]
+    sp, ss = enc_params[name], enc_stats[name]
+    feats = sp["Bottleneck_0"]["ConvBN_2"]["Conv_0"]["kernel"].shape[-1]
+    h = fmap
+    for i in range(units):
+        h = _bottleneck(
+            ctx, h, sp[f"Bottleneck_{i}"], ss[f"Bottleneck_{i}"],
+            f"{name}/Bottleneck_{i}", feats, stride if i == 0 else 1,
+        )
+    return _as_dense(ctx, h)
+
+
+def _folded_conv_bias(params: Dict, stats: Dict, eps: float):
+    """Conv(with bias) + BN -> folded (kernel, bias)."""
+    kernel, bn_bias = fold_bn(
+        params["Conv_0"]["kernel"].astype(jnp.float32),
+        params["BatchNorm_0"]["scale"].astype(jnp.float32),
+        params["BatchNorm_0"]["bias"].astype(jnp.float32),
+        stats["BatchNorm_0"]["mean"].astype(jnp.float32),
+        stats["BatchNorm_0"]["var"].astype(jnp.float32),
+        eps,
+    )
+    conv_bias = params["Conv_0"].get("bias")
+    if conv_bias is not None:
+        # BN(conv + b) = conv*k' + (inv*b + bias'); inv = k'/k per out-channel
+        bn_inv = params["BatchNorm_0"]["scale"].astype(jnp.float32) / jnp.sqrt(
+            stats["BatchNorm_0"]["var"].astype(jnp.float32) + eps
+        )
+        bn_bias = bn_bias + bn_inv * conv_bias.astype(jnp.float32)
+    return kernel, bn_bias
+
+
+def _resize_q(x, hw):
+    """Nearest resize on a QTensor (index/gather form; scale passes through)
+    or a dense tensor (bifpn._resize_nearest)."""
+    if not isinstance(x, QTensor):
+        return _resize_nearest(x, hw)
+    B, H, W, C = x.values.shape
+    h, w = hw
+    if (H, W) == (h, w):
+        return x
+    if H == 2 * h and W == 2 * w:
+        return QTensor(x.values[:, ::2, ::2], x.scale)
+    # upsample: int8 gathers measured 10.7 ms/iter across the pyramid and the
+    # broadcast+reshape lowering stalls Mosaic — dequantize and ride the
+    # bf16 replication-matmul path (0/1 matrices, exact); the consumer fuses
+    # the dense result into its fusion pass
+    return _resize_nearest(dequantize(x, jnp.bfloat16), hw)
+
+
+def _fuse_inputs(terms):
+    """sum_i w_i * x_i with mixed QTensor / dense terms, in fp32."""
+    acc = None
+    for wgt, x in terms:
+        xf = x.values.astype(jnp.float32) * x.scale if isinstance(x, QTensor) else x.astype(jnp.float32)
+        acc = wgt * xf if acc is None else acc + wgt * xf
+    return acc
+
+
+def _quant_conv_generic(ctx, x, kernel, bias, stride, padding, relu, path, q_out):
+    """Shared fp/calib/int8 conv given already-folded kernel+bias."""
+    if ctx.mode in ("fp", "calib"):
+        ctx.record(f"{path}/in", x)
+        y = _conv_fp(x, kernel, bias, stride, padding, relu, ctx.dtype)
+        ctx.record(f"{path}/out", y)
+        return y
+    xq = x if isinstance(x, QTensor) else quantize(x, ctx.scale(f"{path}/in"))
+    kq, wscale = quantize_weights_per_channel(kernel)
+    out_scale = ctx.scale(f"{path}/out") if q_out else None
+    return conv_int8(
+        xq, kq, wscale, bias, stride, padding,
+        out_scale=out_scale, relu=relu, out_dtype=ctx.dtype,
+    )
+
+
+def _dsc(ctx: _Ctx, fused_fp, params, stats, path, q_out=True):
+    """DepthwiseSeparableConvBlock mirror (kernel==1): the per-channel
+    depthwise scale folds into the 1x1 pointwise kernel, BN folds on top —
+    one int8 conv with a fused epilogue. ``fused_fp`` is the fp32 weighted
+    fusion of the node inputs (bifpn.py:146-164)."""
+    kernel, bias = _folded_conv_bias(params, stats, BIFPN_BN_EPS)
+    dw = params["depthwise_scale"].astype(jnp.float32)  # (1, Cin)
+    kernel = kernel * dw[0][None, None, :, None]
+    if ctx.mode in ("fp", "calib"):
+        ctx.record(f"{path}/in", fused_fp)
+        y = _conv_fp(fused_fp.astype(ctx.dtype), kernel, bias, 1, [(0, 0), (0, 0)], True, ctx.dtype)
+        ctx.record(f"{path}/out", y)
+        return y
+    xq = quantize(fused_fp, ctx.scale(f"{path}/in"))
+    kq, wscale = quantize_weights_per_channel(kernel)
+    out_scale = ctx.scale(f"{path}/out") if q_out else None
+    return conv_int8(
+        xq, kq, wscale, bias, 1, [(0, 0), (0, 0)],
+        out_scale=out_scale, relu=True, out_dtype=ctx.dtype,
+    )
+
+
+def _lateral(ctx, x, params, path, kernel_size=1, stride=1, q_out=True):
+    """Plain nn.Conv (bias, no BN, no ReLU) mirror for p3..p6."""
+    kernel = params["kernel"].astype(jnp.float32)
+    bias = params["bias"].astype(jnp.float32)
+    pad = kernel_size // 2
+    return _quant_conv_generic(
+        ctx, x, kernel, bias, stride, [(pad, pad), (pad, pad)], False, path, q_out
+    )
+
+
+def bifpn_forward(bif_params, bif_stats, taps, ctx: _Ctx, num_layers: int = 2):
+    """bifpn.py::BiFPN mirror over encoder taps [c2, c3, c4]."""
+    c2, c3, c4 = taps
+    p3 = _lateral(ctx, c2, bif_params["p3"], "bifpn/p3")
+    p4 = _lateral(ctx, c3, bif_params["p4"], "bifpn/p4")
+    p5 = _lateral(ctx, c4, bif_params["p5"], "bifpn/p5")
+    p6 = _lateral(ctx, c4, bif_params["p6"], "bifpn/p6", kernel_size=3, stride=2)
+    k7, b7 = _folded_conv_bias(bif_params["p7"], bif_stats["p7"], BIFPN_BN_EPS)
+    p7 = _quant_conv_generic(ctx, p6, k7, b7, 2, [(1, 1), (1, 1)], True, "bifpn/p7", True)
+
+    feats = [p3, p4, p5, p6, p7]
+    for li in range(num_layers):
+        bp, bs = bif_params[f"block{li}"], bif_stats[f"block{li}"]
+        w1 = jnp.maximum(bp["w1"].astype(jnp.float32), 0.0)
+        w11 = w1 / jnp.sum(w1, axis=0) + 1e-4
+        w2 = jnp.maximum(bp["w2"].astype(jnp.float32), 0.0)
+        w22 = w2 / jnp.sum(w2, axis=0) + 1e-4
+        p3_x, p4_x, p5_x, p6_x, p7_x = feats
+        hw = lambda t: (t.values if isinstance(t, QTensor) else t).shape[1:3]
+        pre = f"bifpn/block{li}"
+
+        p7_td = p7_x
+        p6_td = _dsc(ctx, _fuse_inputs([(w11[0, 0], p6_x), (w11[1, 0], _resize_q(p7_td, hw(p6_x)))]), bp["p6_td"], bs["p6_td"], f"{pre}/p6_td")
+        p5_td = _dsc(ctx, _fuse_inputs([(w11[0, 1], p5_x), (w11[1, 1], _resize_q(p6_td, hw(p5_x)))]), bp["p5_td"], bs["p5_td"], f"{pre}/p5_td")
+        p4_td = _dsc(ctx, _fuse_inputs([(w11[0, 2], p4_x), (w11[1, 2], _resize_q(p5_td, hw(p4_x)))]), bp["p4_td"], bs["p4_td"], f"{pre}/p4_td")
+        p3_td = _dsc(ctx, _fuse_inputs([(w11[0, 3], p3_x), (w11[1, 3], _resize_q(p4_td, hw(p3_x)))]), bp["p3_td"], bs["p3_td"], f"{pre}/p3_td")
+
+        p3_out = p3_td
+        p4_out = _dsc(ctx, _fuse_inputs([(w22[0, 0], p4_x), (w22[1, 0], p4_td), (w22[2, 0], _resize_q(p3_out, hw(p4_x)))]), bp["p4_out"], bs["p4_out"], f"{pre}/p4_out")
+        p5_out = _dsc(ctx, _fuse_inputs([(w22[0, 1], p5_x), (w22[1, 1], p5_td), (w22[2, 1], _resize_q(p4_out, hw(p5_x)))]), bp["p5_out"], bs["p5_out"], f"{pre}/p5_out")
+        p6_out = _dsc(ctx, _fuse_inputs([(w22[0, 2], p6_x), (w22[1, 2], p6_td), (w22[2, 2], _resize_q(p5_out, hw(p6_x)))]), bp["p6_out"], bs["p6_out"], f"{pre}/p6_out")
+        p7_out = _dsc(ctx, _fuse_inputs([(w22[0, 3], p7_x), (w22[1, 3], p7_td), (w22[2, 3], _resize_q(p6_out, hw(p7_x)))]), bp["p7_out"], bs["p7_out"], f"{pre}/p7_out")
+        feats = [p3_out, p4_out, p5_out, p6_out, p7_out]
+    return feats
+
+
+def quantized_forward(
+    model,
+    variables,
+    x: jax.Array,
+    amax: Optional[Dict[str, jax.Array]] = None,
+    mode: str = "int8",
+    dtype=jnp.bfloat16,
+) -> Tuple[Dict[str, jax.Array], Dict[str, jax.Array]]:
+    """Full DAD-3DNet forward with the encoder in int8 (or fp/calib).
+
+    Returns (outputs, amax) — amax is the updated dict in calib mode, the
+    input dict otherwise. ``model`` must be the resnet50 flagship."""
+    assert model.backbone == "resnet50", "int8 mirror covers the flagship encoder"
+    ctx = _Ctx(mode, amax, dtype)
+    enc_p, enc_s = variables["params"]["encoder"], variables["batch_stats"]["encoder"]
+
+    taps = encoder_backbone(enc_p, enc_s, x.astype(dtype), ctx)
+    pyramid = bifpn_forward(
+        variables["params"]["bifpn"], variables["batch_stats"]["bifpn"], taps[1:], ctx
+    )
+    # 3x3 heatmap head reads the int8 p3 level directly (plain conv + bias,
+    # dense output — the heatmap is a network output)
+    hk = variables["params"]["heatmap_head"]
+    heatmap = _quant_conv_generic(
+        ctx, pyramid[0], hk["kernel"].astype(jnp.float32), hk["bias"].astype(jnp.float32),
+        1, [(1, 1), (1, 1)], False, "heatmap_head", q_out=False,
+    )
+    p2 = _as_dense(ctx, pyramid[2])
+    fmap = model.apply(
+        variables, taps[-1], heatmap, p2, False,
+        method=lambda m, x_, h, b, t: m.fusion(x_, h, b, t),
+    )
+    out = encoder_final(enc_p, enc_s, fmap, ctx)
+    outputs = model.apply(
+        variables, heatmap, out, False, method=lambda m, h, f, t: m.heads(h, f, t)
+    )
+    return outputs, ctx.amax
+
+
+def calibrate(model, variables, batches, dtype=jnp.bfloat16) -> Dict[str, jax.Array]:
+    """Run calibration batches, tree-maxing the per-site amax records."""
+    step = jax.jit(
+        lambda v, x: quantized_forward(model, v, x, mode="calib", dtype=dtype)[1]
+    )
+    amax: Dict[str, jax.Array] = {}
+    for x in batches:
+        cur = step(variables, jnp.asarray(x))
+        amax = cur if not amax else jax.tree_util.tree_map(jnp.maximum, amax, cur)
+    return {k: jnp.asarray(v) for k, v in amax.items()}
+
+
+def save_amax(amax: Dict[str, jax.Array], path: str) -> str:
+    import numpy as np
+
+    np.savez(path, **{k: np.asarray(v) for k, v in amax.items()})
+    return path
+
+
+def load_amax(path: str) -> Dict[str, jax.Array]:
+    import numpy as np
+
+    with np.load(path) as z:
+        return {k: jnp.asarray(z[k]) for k in z.files}
