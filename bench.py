@@ -113,22 +113,28 @@ def main() -> None:
         # opt-in int8 PTQ pipeline (models/quantized.py): same e2e pipeline
         # with the CNN quantized; accuracy-neutral on the trained acceptance
         # checkpoint (val NME 3.0115 int8 vs 3.0053 fp)
-        from dad3dheads_tpu.models.quantized import calibrate, quantized_forward
+        from dad3dheads_tpu.models.quantized import (
+            calibrate,
+            prepare_int8_params,
+            quantized_forward,
+        )
 
         amax = calibrate(
             model, variables,
             [jax.random.normal(jax.random.PRNGKey(7), (32, 256, 256, 3), in_dtype)],
             dtype=in_dtype,
         )
+        qparams = prepare_int8_params(model, variables, dtype=in_dtype)
 
         @jax.jit
-        def run_q(variables, amax, flame, embedding, seed, n_iters):
+        def run_q(variables, qparams, amax, flame, embedding, seed, n_iters):
             images = jax.random.normal(seed, (BATCH, 256, 256, 3), in_dtype)
 
             def body(i, carry):
                 imgs, acc = carry
                 out, _ = quantized_forward(
-                    model, variables, imgs, amax=amax, mode="int8", dtype=in_dtype
+                    model, variables, imgs, amax=amax, mode="int8",
+                    dtype=in_dtype, qparams=qparams,
                 )
                 mm = out[OUTPUT_3DMM_PARAMS].astype(jnp.float32)
                 params = FlameParams.from_3dmm(mm)
@@ -143,13 +149,13 @@ def main() -> None:
             _, acc = jax.lax.fori_loop(0, n_iters, body, (images, jnp.zeros(())))
             return acc
 
-        float(run_q(variables, amax, flame, embedding, jax.random.PRNGKey(1), 1))
+        float(run_q(variables, qparams, amax, flame, embedding, jax.random.PRNGKey(1), 1))
 
         def timed_q(n, reps=3):
             best = float("inf")
             for i in range(reps):
                 t0 = time.perf_counter()
-                float(run_q(variables, amax, flame, embedding, jax.random.PRNGKey(2 + i), n))
+                float(run_q(variables, qparams, amax, flame, embedding, jax.random.PRNGKey(2 + i), n))
                 best = min(best, time.perf_counter() - t0)
             return best
 

@@ -25,46 +25,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax import export as jax_export
 
-from ..constants import (
-    FLAME_CONSTS,
-    IMAGENET_MEAN,
-    IMAGENET_STD,
-    OUTPUT_2D_LANDMARKS,
-    OUTPUT_3DMM_PARAMS,
-    OUTPUT_LANDMARKS_HEATMAP,
-)
-from ..core.flame import FlameModel, FlameParams, flame_decode
-from ..core.rotation import rot_mat_from_6dof
+from ..constants import FLAME_CONSTS, IMAGENET_MEAN, IMAGENET_STD
+from ..core.flame import FlameModel
 
 _FORMAT_VERSION = 1
-
-
-def _pipeline_outputs(out, stride: int, img_size: int):
-    """Landmark decode shared with FaceMeshPredictor._device_pipeline."""
-    if OUTPUT_2D_LANDMARKS in out:
-        landmarks = out[OUTPUT_2D_LANDMARKS] * float(img_size)
-    else:
-        heatmap = out[OUTPUT_LANDMARKS_HEATMAP]
-        B, H, W, C = heatmap.shape
-        flat = jax.nn.sigmoid(heatmap).reshape(B, H * W, C)
-        idx = jnp.argmax(flat, axis=1)
-        landmarks = (
-            jnp.stack([idx % W, idx // W], axis=-1).astype(jnp.float32) * stride
-        )
-    landmarks = jnp.clip(landmarks, 0, img_size)
-    return {"landmarks": landmarks, "3dmm": out[OUTPUT_3DMM_PARAMS]}
-
-
-def _decode_fn(flame, params_3dmm, consts: Dict[str, int], img_size: int):
-    """FLAME decode shared with FaceMeshPredictor._decode_3dmm."""
-    params = FlameParams.from_3dmm(params_3dmm, consts)
-    v0 = flame_decode(flame, params, zero_rot=True)
-    R = rot_mat_from_6dof(params.rotation)
-    v = jnp.einsum("bxy,bvy->bvx", R, v0, precision=jax.lax.Precision.HIGHEST)
-    scale = jnp.clip(params.scale[:, None] + 1.0, min=1e-8)
-    t = params.translation.at[..., 2].set(0.0)
-    proj = (v * scale + t[:, None] + 1.0) / 2.0 * img_size
-    return v, proj[..., :2]
 
 
 def export_predictor(
@@ -94,14 +58,18 @@ def export_predictor(
     w_leaves, w_def = jax.tree_util.tree_flatten(variables)
     f_leaves, f_def = jax.tree_util.tree_flatten(flame)
 
+    # the decode steps are the predictor's own functions, so exported-vs-live
+    # parity holds by construction
+    from .predictor import decode_3dmm_to_mesh, decode_pipeline_outputs
+
     def pipeline(weights, images):
         out = model.apply(jax.tree_util.tree_unflatten(w_def, weights), images, train=False)
-        res = _pipeline_outputs(out, stride, img_size)
+        res = decode_pipeline_outputs(out, stride, img_size)
         return res["landmarks"], res["3dmm"]
 
     def decode(flame_leaves, params_3dmm):
         fl = jax.tree_util.tree_unflatten(f_def, flame_leaves)
-        return _decode_fn(fl, params_3dmm, constants, img_size)
+        return decode_3dmm_to_mesh(fl, params_3dmm, constants, img_size)
 
     (b,) = jax_export.symbolic_shape("b")
     img_sds = jax.ShapeDtypeStruct((b, img_size, img_size, 3), jnp.float32)

@@ -91,6 +91,41 @@ def save_predictor_checkpoint(variables, path: Optional[str] = None) -> str:
     return path
 
 
+
+def decode_pipeline_outputs(out, stride: int, img_size: int):
+    """Model outputs -> {"landmarks", "3dmm"} (network frame).
+
+    THE canonical landmark decode — the live predictor and the AOT export
+    (api/export.py) both call it, so exported-vs-live parity holds by
+    construction. Reference precedence (predictor.py:107-112): the regression
+    head's normalized landmarks when present, else heatmap argmax x stride."""
+    if OUTPUT_2D_LANDMARKS in out:
+        landmarks = out[OUTPUT_2D_LANDMARKS] * float(img_size)
+    else:
+        heatmap = out[OUTPUT_LANDMARKS_HEATMAP]  # (B, H, W, C)
+        B, H, W, C = heatmap.shape
+        flat = jax.nn.sigmoid(heatmap).reshape(B, H * W, C)
+        idx = jnp.argmax(flat, axis=1)
+        landmarks = (
+            jnp.stack([idx % W, idx // W], axis=-1).astype(jnp.float32) * stride
+        )
+    landmarks = jnp.clip(landmarks, 0, img_size)
+    return {"landmarks": landmarks, "3dmm": out[OUTPUT_3DMM_PARAMS]}
+
+
+def decode_3dmm_to_mesh(flame, params_3dmm, consts, img_size: int):
+    """3DMM params -> (vertices_3d, projected_2d); canonical FLAME decode +
+    reprojection shared by the live predictor and the AOT export."""
+    params = FlameParams.from_3dmm(params_3dmm, dict(consts))
+    v0 = flame_decode(flame, params, zero_rot=True)
+    R = rot_mat_from_6dof(params.rotation)
+    v = jnp.einsum("bxy,bvy->bvx", R, v0, precision=jax.lax.Precision.HIGHEST)
+    scale = jnp.clip(params.scale[:, None] + 1.0, min=1e-8)
+    t = params.translation.at[..., 2].set(0.0)
+    proj = (v * scale + t[:, None] + 1.0) / 2.0 * img_size
+    return v, proj[..., :2]
+
+
 class FaceMeshPredictor:
     def __init__(
         self,
@@ -125,6 +160,15 @@ class FaceMeshPredictor:
             from ..models.quantized import load_amax
 
             self.quant_amax = load_amax(self.quant_amax)
+        self.quant_qparams = None
+        if self.quant_amax is not None:
+            # fold BN + requantize weights ONCE at load; the per-call forward
+            # then reads only the int8 kernels
+            from ..models.quantized import prepare_int8_params
+
+            self.quant_qparams = prepare_int8_params(
+                self.model, self.variables, dtype=self.model.dtype
+            )
 
     # -- weights -----------------------------------------------------------
     def _init_or_load(self, checkpoint_path: Optional[str]):
@@ -151,7 +195,8 @@ class FaceMeshPredictor:
         jax.jit, static_argnames=("model_def", "stride", "img_size", "quantized")
     )
     def _device_pipeline(
-        model_def, variables, images, stride, img_size, quant_amax=None, quantized=False
+        model_def, variables, images, stride, img_size, quant_amax=None,
+        quantized=False, qparams=None,
     ):
         if images.dtype == jnp.uint8:
             # uint8 batches normalize in-graph (one jit, partitions trivially
@@ -164,42 +209,17 @@ class FaceMeshPredictor:
 
             out, _ = quantized_forward(
                 model_def, variables, images, amax=quant_amax, mode="int8",
-                dtype=model_def.dtype,
+                dtype=model_def.dtype, qparams=qparams,
             )
         else:
             out = model_def.apply(variables, images, train=False)
 
-        if OUTPUT_2D_LANDMARKS in out:
-            # reference precedence (predictor.py:107-112): use the regression
-            # head's normalized landmarks when the model emits them...
-            landmarks = out[OUTPUT_2D_LANDMARKS] * float(img_size)
-        else:
-            # ...otherwise decode the heatmap argmax at input resolution
-            heatmap = out[OUTPUT_LANDMARKS_HEATMAP]  # (B, H, W, C)
-            B, H, W, C = heatmap.shape
-            flat = jax.nn.sigmoid(heatmap).reshape(B, H * W, C)
-            idx = jnp.argmax(flat, axis=1)
-            landmarks = (
-                jnp.stack([idx % W, idx // W], axis=-1).astype(jnp.float32) * stride
-            )
-        landmarks = jnp.clip(landmarks, 0, img_size)
-
-        return {
-            "landmarks": landmarks,
-            "3dmm": out[OUTPUT_3DMM_PARAMS],
-        }
+        return decode_pipeline_outputs(out, stride, img_size)
 
     @staticmethod
     @functools.partial(jax.jit, static_argnames=("consts_key", "img_size"))
     def _decode_3dmm(flame, params_3dmm, consts_key, img_size):
-        params = FlameParams.from_3dmm(params_3dmm, dict(consts_key))
-        v0 = flame_decode(flame, params, zero_rot=True)
-        R = rot_mat_from_6dof(params.rotation)
-        v = jnp.einsum("bxy,bvy->bvx", R, v0, precision=jax.lax.Precision.HIGHEST)
-        scale = jnp.clip(params.scale[:, None] + 1.0, min=1e-8)
-        t = params.translation.at[..., 2].set(0.0)
-        proj = (v * scale + t[:, None] + 1.0) / 2.0 * img_size
-        return v, proj[..., :2]
+        return decode_3dmm_to_mesh(flame, params_3dmm, consts_key, img_size)
 
     # -- public API --------------------------------------------------------
     def __call__(self, image: np.ndarray) -> Dict[str, Any]:
@@ -218,6 +238,7 @@ class FaceMeshPredictor:
             self._img_size,
             quant_amax=self.quant_amax,
             quantized=self.quant_amax is not None,
+            qparams=self.quant_qparams,
         )
         landmarks = np.asarray(dev["landmarks"][0])
         pred_3dmm = np.asarray(dev["3dmm"])
@@ -262,6 +283,7 @@ class FaceMeshPredictor:
         dev = self._device_pipeline(
             self.model, self.variables, x, self._stride, self._img_size,
             quant_amax=self.quant_amax, quantized=self.quant_amax is not None,
+            qparams=self.quant_qparams,
         )
         vertices_3d, projected = self._decode_3dmm(
             self.flame, dev["3dmm"], consts_key, self._img_size

@@ -59,13 +59,22 @@ def _folded(params: Dict, stats: Dict):
 
 
 class _Ctx:
-    """Carries mode + the amax dict through the mirror."""
+    """Carries mode + the amax dict (+ optional prepared weights) through
+    the mirror."""
 
-    def __init__(self, mode: str, amax: Optional[Dict[str, jax.Array]], dtype):
+    def __init__(
+        self,
+        mode: str,
+        amax: Optional[Dict[str, jax.Array]],
+        dtype,
+        qparams: Optional[Dict[str, Tuple[jax.Array, jax.Array, jax.Array]]] = None,
+    ):
         assert mode in ("fp", "calib", "int8"), mode
         self.mode = mode
         self.amax = dict(amax or {})
         self.dtype = dtype
+        self.qparams = qparams  # path -> (int8 kernel, weight scale, bias)
+        self.collect: Optional[Dict[str, Tuple]] = None  # prepare_int8_params
 
     def record(self, path: str, x: jax.Array) -> None:
         if self.mode == "calib":
@@ -94,20 +103,8 @@ def _convbn(ctx: _Ctx, x, params, stats, path, kernel_size, stride, relu, q_out:
     when q_out else dense ctx.dtype."""
     kernel, bias = _folded(params, stats)
     pad = kernel_size // 2
-    padding = [(pad, pad), (pad, pad)]
-
-    if ctx.mode in ("fp", "calib"):
-        ctx.record(f"{path}/in", x)
-        y = _conv_fp(x, kernel, bias, stride, padding, relu, ctx.dtype)
-        ctx.record(f"{path}/out", y)
-        return y
-
-    xq = x if isinstance(x, QTensor) else quantize(x, ctx.scale(f"{path}/in"))
-    kq, wscale = quantize_weights_per_channel(kernel)
-    out_scale = ctx.scale(f"{path}/out") if q_out else None
-    return conv_int8(
-        xq, kq, wscale, bias, stride, padding,
-        out_scale=out_scale, relu=relu, out_dtype=ctx.dtype,
+    return _quant_conv_generic(
+        ctx, x, kernel, bias, stride, [(pad, pad), (pad, pad)], relu, path, q_out
     )
 
 
@@ -235,14 +232,23 @@ def _fuse_inputs(terms):
 
 
 def _quant_conv_generic(ctx, x, kernel, bias, stride, padding, relu, path, q_out):
-    """Shared fp/calib/int8 conv given already-folded kernel+bias."""
+    """Shared fp/calib/int8 conv given already-folded kernel+bias. Every conv
+    site of the mirror funnels through here (one copy of the mode dispatch)."""
     if ctx.mode in ("fp", "calib"):
+        if ctx.collect is not None:
+            kq, wscale = quantize_weights_per_channel(kernel)
+            ctx.collect[path] = (kq, wscale, bias)
         ctx.record(f"{path}/in", x)
         y = _conv_fp(x, kernel, bias, stride, padding, relu, ctx.dtype)
         ctx.record(f"{path}/out", y)
         return y
     xq = x if isinstance(x, QTensor) else quantize(x, ctx.scale(f"{path}/in"))
-    kq, wscale = quantize_weights_per_channel(kernel)
+    if ctx.qparams is not None and path in ctx.qparams:
+        # prepared at load time — the inline fold below becomes dead code XLA
+        # eliminates, so no per-call refold/requant HBM traffic
+        kq, wscale, bias = ctx.qparams[path]
+    else:
+        kq, wscale = quantize_weights_per_channel(kernel)
     out_scale = ctx.scale(f"{path}/out") if q_out else None
     return conv_int8(
         xq, kq, wscale, bias, stride, padding,
@@ -258,17 +264,8 @@ def _dsc(ctx: _Ctx, fused_fp, params, stats, path, q_out=True):
     kernel, bias = _folded_conv_bias(params, stats, BIFPN_BN_EPS)
     dw = params["depthwise_scale"].astype(jnp.float32)  # (1, Cin)
     kernel = kernel * dw[0][None, None, :, None]
-    if ctx.mode in ("fp", "calib"):
-        ctx.record(f"{path}/in", fused_fp)
-        y = _conv_fp(fused_fp.astype(ctx.dtype), kernel, bias, 1, [(0, 0), (0, 0)], True, ctx.dtype)
-        ctx.record(f"{path}/out", y)
-        return y
-    xq = quantize(fused_fp, ctx.scale(f"{path}/in"))
-    kq, wscale = quantize_weights_per_channel(kernel)
-    out_scale = ctx.scale(f"{path}/out") if q_out else None
-    return conv_int8(
-        xq, kq, wscale, bias, 1, [(0, 0), (0, 0)],
-        out_scale=out_scale, relu=True, out_dtype=ctx.dtype,
+    return _quant_conv_generic(
+        ctx, fused_fp, kernel, bias, 1, [(0, 0), (0, 0)], True, path, q_out
     )
 
 
@@ -325,13 +322,24 @@ def quantized_forward(
     amax: Optional[Dict[str, jax.Array]] = None,
     mode: str = "int8",
     dtype=jnp.bfloat16,
+    qparams: Optional[Dict[str, Tuple[jax.Array, jax.Array, jax.Array]]] = None,
 ) -> Tuple[Dict[str, jax.Array], Dict[str, jax.Array]]:
     """Full DAD-3DNet forward with the encoder in int8 (or fp/calib).
 
     Returns (outputs, amax) — amax is the updated dict in calib mode, the
-    input dict otherwise. ``model`` must be the resnet50 flagship."""
+    input dict otherwise. ``model`` must be the resnet50 flagship.
+    ``qparams`` (from :func:`prepare_int8_params`) supplies pre-folded int8
+    kernels so the hot path skips the per-call BN fold + weight requant."""
     assert model.backbone == "resnet50", "int8 mirror covers the flagship encoder"
-    ctx = _Ctx(mode, amax, dtype)
+    ctx = _Ctx(mode, amax, dtype, qparams=qparams)
+    outputs = quantized_forward_impl(model, variables, x, ctx)
+    return outputs, ctx.amax
+
+
+def quantized_forward_impl(model, variables, x: jax.Array, ctx: _Ctx):
+    """The mirror body, parameterized by an explicit _Ctx (shared by
+    quantized_forward and prepare_int8_params)."""
+    dtype = ctx.dtype
     enc_p, enc_s = variables["params"]["encoder"], variables["batch_stats"]["encoder"]
 
     taps = encoder_backbone(enc_p, enc_s, x.astype(dtype), ctx)
@@ -354,7 +362,25 @@ def quantized_forward(
     outputs = model.apply(
         variables, heatmap, out, False, method=lambda m, h, f, t: m.heads(h, f, t)
     )
-    return outputs, ctx.amax
+    return outputs
+
+
+def prepare_int8_params(
+    model, variables, dtype=jnp.bfloat16, img_size: int = 256
+) -> Dict[str, Tuple[jax.Array, jax.Array, jax.Array]]:
+    """Fold BN + per-channel-quantize every conv kernel ONCE.
+
+    Returns {site path: (int8 kernel, weight scale, fp32 bias)} — pass as
+    ``qparams`` to :func:`quantized_forward` so inference stops re-reading
+    and re-folding the fp32 weights on every call."""
+
+    def body(v):
+        ctx = _Ctx("fp", None, dtype)
+        ctx.collect = {}
+        quantized_forward_impl(model, v, jnp.zeros((1, img_size, img_size, 3), dtype), ctx)
+        return ctx.collect
+
+    return jax.jit(body)(variables)
 
 
 def calibrate(model, variables, batches, dtype=jnp.bfloat16) -> Dict[str, jax.Array]:
@@ -372,7 +398,10 @@ def calibrate(model, variables, batches, dtype=jnp.bfloat16) -> Dict[str, jax.Ar
 def save_amax(amax: Dict[str, jax.Array], path: str) -> str:
     import numpy as np
 
-    np.savez(path, **{k: np.asarray(v) for k, v in amax.items()})
+    # np.savez appends '.npz' to suffixless paths; write through a handle so
+    # the returned path is always the file that exists
+    with open(path, "wb") as f:
+        np.savez(f, **{k: np.asarray(v) for k, v in amax.items()})
     return path
 
 

@@ -18,6 +18,25 @@ import numpy as np
 from .mesh import batch_sharding
 
 
+def local_data_row_count(mesh, process_index: int = None) -> int:
+    """Number of distinct data-axis rows holding >=1 device of this process.
+
+    This — not the local device count — is how many batch shards this host
+    contributes: a (data, model) mesh with model > 1 replicates each batch
+    row across the model column."""
+    if process_index is None:
+        process_index = jax.process_index()
+    data_dim = mesh.axis_names.index("data")
+    devs = np.moveaxis(np.asarray(mesh.devices), data_dim, 0)
+    rows = {
+        i
+        for i in range(mesh.shape["data"])
+        for d in np.atleast_1d(devs[i]).flat
+        if d.process_index == process_index
+    }
+    return max(1, len(rows))
+
+
 def put_global_batch(batch: Dict[str, Any], mesh) -> Dict[str, jax.Array]:
     """Place one batch on the mesh with the leading axis sharded over
     ``data``.
@@ -31,10 +50,11 @@ def put_global_batch(batch: Dict[str, Any], mesh) -> Dict[str, jax.Array]:
     DistributedSampler feeding DDP (flame_lightning_model.py:182-186)."""
     sharding = batch_sharding(mesh)
     single_host = sharding.is_fully_addressable
-    n_local = len([d for d in mesh.devices.flat if d.process_index == jax.process_index()])
-    n_data = mesh.shape["data"]
-    # rows of this host's batch must split evenly over its data-axis devices
-    divisor = n_data if single_host else max(1, n_local)
+    # rows of this host's batch must split evenly over its data-axis ROWS —
+    # with a model axis >1 each data row spans several local devices that all
+    # hold the same batch shard (batch shards only over 'data'; 'model'
+    # replicates), so count distinct data indices, not devices
+    divisor = mesh.shape["data"] if single_host else local_data_row_count(mesh)
 
     out = {}
     for k, v in batch.items():
@@ -43,7 +63,7 @@ def put_global_batch(batch: Dict[str, Any], mesh) -> Dict[str, jax.Array]:
         if v.shape[0] % divisor != 0:
             raise ValueError(
                 f"batch axis of {k} ({v.shape[0]}) must be divisible by "
-                f"{divisor} (local data-axis devices)"
+                f"{divisor} (local data-axis rows)"
             )
         if single_host:
             out[k] = jax.device_put(jnp.asarray(v), sharding)

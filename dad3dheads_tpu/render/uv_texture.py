@@ -78,6 +78,14 @@ def parse_obj_uv_layout(path: str):
             if parts[0] == "vt":
                 vts.append((float(parts[1]), float(parts[2])))
             elif parts[0] == "f":
+                if len(parts) != 4:
+                    # quads/ngons would silently misalign the table with the
+                    # triangulated mesh faces — fail loudly instead
+                    raise ValueError(
+                        f"{path}: only triangular faces are supported for the "
+                        f"UV layout (got a {len(parts) - 1}-gon); triangulate "
+                        "the OBJ first"
+                    )
                 corner_ts = []
                 for corner in parts[1:4]:
                     fields = corner.split("/")
@@ -134,13 +142,27 @@ class UVTextureCreator:
                         f"{uv_data_path} carries no per-corner texture "
                         "coordinates (vt / f v/vt records)"
                     )
-                self.tri_id, self.bary = uv_embedding_from_layout(*layout, resolution)
+                vt, ft = layout
+                if len(ft) != len(self.faces):
+                    raise ValueError(
+                        f"{uv_data_path}: UV face table has {len(ft)} rows but "
+                        f"the mesh has {len(self.faces)} faces — the layout "
+                        "must be row-aligned with the FLAME topology"
+                    )
+                self.tri_id, self.bary = uv_embedding_from_layout(vt, ft, resolution)
             else:
                 with np.load(uv_data_path) as z:
                     if "tri_id" in z:
                         self.tri_id, self.bary = z["tri_id"], z["bary"]
                         self.resolution = self.tri_id.shape[0]
                     else:
+                        if len(z["ft"]) != len(self.faces):
+                            raise ValueError(
+                                f"{uv_data_path}: UV face table has "
+                                f"{len(z['ft'])} rows but the mesh has "
+                                f"{len(self.faces)} faces — the layout must "
+                                "be row-aligned with the FLAME topology"
+                            )
                         self.tri_id, self.bary = uv_embedding_from_layout(
                             z["vt"], z["ft"], resolution
                         )

@@ -312,7 +312,25 @@ class Trainer:
                 monitored_key, epoch_metrics.get("train/loss", float("nan"))
             )
             is_last_epoch = epoch + 1 >= self.max_epochs
-            if (epoch + 1) % self.checkpoint_every_n_epochs == 0 or is_last_epoch:
+            # skipped epochs (checkpoint_every_n_epochs > 1) must still save
+            # when the monitored metric improves — otherwise early stopping
+            # could end the run with the best weights never on disk and
+            # resume would silently lose the skipped epochs
+            best = self.ckpt.best
+            improved = np.isfinite(monitored) and (
+                best is None
+                or (
+                    monitored < best["value"]
+                    if self.ckpt.mode == "min"
+                    else monitored > best["value"]
+                )
+            )
+            saved = (
+                (epoch + 1) % self.checkpoint_every_n_epochs == 0
+                or is_last_epoch
+                or improved
+            )
+            if saved:
                 self.ckpt.save(state, epoch, {monitored_key: monitored, **epoch_metrics})
 
             if self.plateau is not None and np.isfinite(monitored):
@@ -324,6 +342,8 @@ class Trainer:
                 and self.early_stopping.step(monitored)
             ):
                 logger.info("early stopping at epoch %d", epoch)
+                if not saved:
+                    self.ckpt.save(state, epoch, {})  # refresh 'last' for resume
                 break
 
         for sig, handler in old_handlers.items():

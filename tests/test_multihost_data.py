@@ -105,3 +105,20 @@ def test_device_prefetch_keeps_batches_in_flight():
     batches = [{"x": np.full((n, 2), i, np.float32)} for i in range(5)]
     seen = [np.asarray(b["x"])[0, 0] for b in device_prefetch(iter(batches), mesh)]
     assert seen == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_local_data_row_count_with_model_axis():
+    """With a model axis >1 the multi-host batch divisor is the number of
+    data-axis rows this process owns, NOT its device count — model columns
+    replicate the batch shard (round-2 review fix)."""
+    from dad3dheads_tpu.parallel.prefetch import local_data_row_count
+
+    mesh = make_mesh(model=2)  # 8 CPU devices -> (data=4, model=2)
+    assert mesh.shape["data"] == 4
+    n_local_devices = sum(
+        1 for d in mesh.devices.flat if d.process_index == jax.process_index()
+    )
+    assert n_local_devices == 8
+    assert local_data_row_count(mesh) == 4
+    # a process owning no devices of this mesh contributes at least divisor 1
+    assert local_data_row_count(mesh, process_index=10**6) == 1

@@ -88,3 +88,50 @@ def test_predictor_int8_plumbing(fp_model, tmp_path, rng):
     out = predictor(image)
     assert set(out) == {"points", "projected_vertices", "3d_vertices", "3dmm_params"}
     assert np.isfinite(out["3dmm_params"]).all()
+
+def test_prepared_qparams_match_inline(fp_model):
+    """prepare_int8_params must reproduce the inline fold up to 1-ulp
+    reassociation: fold+requant compiled standalone vs fused into the forward
+    can round a borderline weight to the neighboring int8 bin, so the two
+    int8 forwards agree far within the int8-vs-fp noise budget but not
+    bit-for-bit."""
+    from dad3dheads_tpu.models.quantized import (
+        calibrate,
+        prepare_int8_params,
+        quantized_forward,
+    )
+
+    model, v, x = fp_model
+    amax = calibrate(model, v, [x], dtype=jnp.float32)
+    qp = prepare_int8_params(model, v, dtype=jnp.float32, img_size=64)
+    # every conv site collected: 53 resnet + 21 bifpn + heatmap head = 75
+    assert len(qp) == 75
+    inline, _ = jax.jit(
+        lambda v, x, a: quantized_forward(model, v, x, amax=a, mode="int8", dtype=jnp.float32)
+    )(v, x, amax)
+    prepared, _ = jax.jit(
+        lambda v, x, a, qp: quantized_forward(
+            model, v, x, amax=a, mode="int8", dtype=jnp.float32, qparams=qp
+        )
+    )(v, x, amax, qp)
+    ref = jax.jit(lambda v, x: model.apply(v, x, train=False))(v, x)
+    for k in inline:
+        a, b, r = np.asarray(inline[k]), np.asarray(prepared[k]), np.asarray(ref[k])
+        assert np.isfinite(b).all(), k
+        # the two int8 variants agree far closer than either is to fp...
+        assert np.max(np.abs(a - b)) < 0.10 * max(np.max(np.abs(a)), 1e-3), k
+        # ...and the prepared path stays within the int8-vs-fp noise budget
+        assert np.max(np.abs(r - b)) < 0.25 * max(np.max(np.abs(r)), 1e-3), k
+
+
+def test_save_amax_suffixless_path(fp_model, tmp_path):
+    """save_amax must return a path that exists even without a .npz suffix."""
+    import os
+
+    from dad3dheads_tpu.models.quantized import calibrate, load_amax, save_amax
+
+    model, v, x = fp_model
+    amax = calibrate(model, v, [x], dtype=jnp.float32)
+    p = save_amax(amax, str(tmp_path / "amax"))
+    assert os.path.isfile(p)
+    assert set(load_amax(p)) == set(amax)

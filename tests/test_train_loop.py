@@ -198,3 +198,40 @@ def test_trainer_fit_synthetic(tmp_path):
     trainer2 = Trainer(model, {**config, "max_epochs": 2, "export_aot": False}, loader, val, flame=flame)
     state2 = trainer2.fit(resume=True)
     assert int(state2.step) >= 4
+
+
+def test_checkpoint_saves_on_improvement_between_intervals(tmp_path):
+    """With checkpoint_every_n_epochs > max_epochs, epochs that improve the
+    monitored metric must still reach the top-k registry — otherwise early
+    stopping could end a run with the best weights never on disk (round-2
+    review fix)."""
+    import json as _json
+
+    from dad3dheads_tpu.cli.train import SyntheticLoader
+    from dad3dheads_tpu.core.flame import FlameModel
+    from dad3dheads_tpu.core.landmarks import LandmarkEmbedding
+    from dad3dheads_tpu.models import create_model
+    from dad3dheads_tpu.train.loop import Trainer
+
+    flame = FlameModel.load()
+    emb = LandmarkEmbedding.load()
+    model = create_model({"backbone": "resnet50"})
+    config = {
+        "img_size": 64,
+        "max_epochs": 2,
+        "batch_size": 8,
+        "optimizer": {"name": "adam", "lr": 1e-4},
+        "experiment_dir": str(tmp_path / "exp"),
+        "save_top_k": 3,
+        "checkpoint_every_n_epochs": 50,  # interval never fires on its own
+    }
+    loader = SyntheticLoader(flame, emb, batch_size=8, img_size=64, steps=1)
+    val = SyntheticLoader(flame, emb, batch_size=8, img_size=64, steps=1, seed=9)
+    trainer = Trainer(model, config, loader, val, flame=flame)
+    trainer.fit()
+
+    with open(tmp_path / "exp" / "checkpoints" / "registry.json") as f:
+        registry = _json.load(f)
+    # epoch 0 improves over the empty registry -> must be saved despite the
+    # 50-epoch interval (pre-fix: only the last epoch was ever saved)
+    assert 0 in {e["epoch"] for e in registry}

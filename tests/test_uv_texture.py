@@ -53,9 +53,15 @@ def test_uv_creator_accepts_layout_npz_and_obj(tmp_path, rng, flame_model):
     from dad3dheads_tpu.core.head_mesh import HeadMesh
     from dad3dheads_tpu.render.uv_texture import UVTextureCreator, parse_obj_uv_layout
 
-    vt, ft = _two_triangle_layout()
-    # the layout's ft must be row-aligned with mesh faces; for the test we
-    # only need the first two rows to be exercised by the fake layout
+    from dad3dheads_tpu import assets
+
+    vt, ft2 = _two_triangle_layout()
+    # the layout must be row-aligned with the mesh faces (the creator rejects
+    # anything else): real UV charts on rows 0-1, degenerate (zero-area)
+    # rows for the rest so only the first two faces rasterize
+    n_faces = len(assets.get_faces())
+    ft = np.zeros((n_faces, 3), np.int64)
+    ft[:2] = ft2
     npz = tmp_path / "uv_layout.npz"
     np.savez(npz, vt=vt, ft=ft)
     hm = HeadMesh(model=flame_model, image_size=256)

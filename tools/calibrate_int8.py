@@ -67,10 +67,11 @@ def main() -> None:
         from dad3dheads_tpu.data import synthetic_batch
 
         emb = LandmarkEmbedding.load()
+        gen = jax.jit(
+            lambda r: synthetic_batch(r, predictor.flame, emb, args.batch, args.img_size)
+        )
         for i in range(max(1, args.num // args.batch)):
-            batch = jax.jit(
-                lambda r: synthetic_batch(r, predictor.flame, emb, args.batch, args.img_size)
-            )(jax.random.PRNGKey(i))
+            batch = gen(jax.random.PRNGKey(i))
             tensors.extend(np.asarray(batch[INPUT_IMAGE_KEY], np.float32))
 
     batches = [
