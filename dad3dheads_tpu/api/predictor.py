@@ -298,6 +298,87 @@ class FaceMeshPredictor:
             out = {k: v[:B] for k, v in out.items()}
         return out
 
+    def predict_images(
+        self, images, batch_size: int = 32, num_workers: int = 0
+    ) -> list:
+        """Bulk prediction: iterable of RGB uint8 images -> list of per-image
+        dicts in ORIGINAL image coordinates (the ``__call__`` contract),
+        batched on device.
+
+        The serving path: preprocessing runs on host threads
+        (``num_workers``), every device call uses one padded compile shape
+        (``batch_size``), and up to two batches stay in flight so JAX's async
+        dispatch overlaps host readjustment with device compute. The
+        reference's predictor is strictly one-image (predictor.py:78-83)."""
+        import collections
+        import concurrent.futures as cf
+
+        images = list(images)
+        if not images:
+            return []
+        prep = lambda im: preprocess_image_np(im, self._img_size, mode=self._resize_mode)
+        if num_workers > 1:
+            with cf.ThreadPoolExecutor(num_workers) as ex:
+                prepped = list(ex.map(prep, images))
+        else:
+            prepped = [prep(im) for im in images]
+        consts_key = tuple(sorted(self.flame_constants.items()))
+        results: list = []
+        pending: collections.deque = collections.deque()
+
+        def drain():
+            dev, count, metas = pending.popleft()
+            landmarks_b = np.asarray(dev["landmarks"])
+            mm_b = np.asarray(dev["3dmm"])
+            pts, adj = [], []
+            for j in range(count):
+                scale, pads = metas[j]
+                pts.append(readjust_landmarks_np(landmarks_b[j], pads, scale))
+                adj.append(
+                    readjust_3dmm_np(
+                        mm_b[j : j + 1], pads, scale, self._img_size, self.flame_constants
+                    )
+                )
+            adj = np.concatenate(adj, 0)
+            # pad the decode to the same compiled batch shape as the pipeline
+            dpad = batch_size - count
+            adj_dev = np.concatenate([adj, np.repeat(adj[-1:], dpad, 0)]) if dpad else adj
+            v3, proj = self._decode_3dmm(
+                self.flame, jnp.asarray(adj_dev), consts_key, self._img_size
+            )
+            v3, proj = np.asarray(v3), np.asarray(proj)
+            for j in range(count):
+                results.append(
+                    {
+                        "points": np.reshape(pts[j], (-1, 2)),
+                        "projected_vertices": proj[j : j + 1],
+                        "3d_vertices": v3[j],
+                        "3dmm_params": adj[j : j + 1],
+                    }
+                )
+
+        for lo in range(0, len(prepped), batch_size):
+            chunk = prepped[lo : lo + batch_size]
+            x = np.stack([t for t, _, _ in chunk])
+            if len(chunk) < batch_size:
+                x = np.concatenate([x, np.repeat(x[-1:], batch_size - len(chunk), 0)])
+            dev = self._device_pipeline(
+                self.model,
+                self.variables,
+                jnp.asarray(x),
+                self._stride,
+                self._img_size,
+                quant_amax=self.quant_amax,
+                quantized=self.quant_amax is not None,
+                qparams=self.quant_qparams,
+            )
+            pending.append((dev, len(chunk), [(s, p) for _, s, p in chunk]))
+            if len(pending) >= 2:
+                drain()
+        while pending:
+            drain()
+        return results
+
     @classmethod
     def dad_3dnet(cls, checkpoint_path: Optional[str] = None, **kwargs) -> "FaceMeshPredictor":
         """The flagship predictor (reference: FaceMeshPredictor.dad_3dnet)."""

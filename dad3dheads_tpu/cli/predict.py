@@ -1,0 +1,132 @@
+"""Bulk-inference CLI: a directory (or glob) of images -> predictions.
+
+The serving front-end the reference lacks (its demo.py handles one image per
+invocation, /root/reference/demo.py:42-60): images stream through host
+threads into fixed-shape device batches (``FaceMeshPredictor.predict_images``)
+and results land as
+
+  - ``jsonl`` (default): one line per image with the 68 points and the
+    413-dim 3DMM vector — the compact serving format;
+  - ``obj``: one mesh file per image (MeshSaver, 1-indexed faces);
+  - ``json``: one FLAME-parameter json per image (JsonSaver).
+
+  python -m dad3dheads_tpu.cli.predict --input imgs/ --output out/ \\
+      [--format jsonl|obj|json] [--batch 32] [--workers 8] \\
+      [--checkpoint ck.msgpack] [--quant-amax amax.npz] [--resize-mode ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import logging
+import os
+import sys
+import time
+from typing import List
+
+logger = logging.getLogger(__name__)
+
+_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+
+
+def list_images(spec: str) -> List[str]:
+    """Expand a directory, glob, or single file into image paths."""
+    if os.path.isdir(spec):
+        paths = [
+            os.path.join(root, f)
+            for root, _, files in os.walk(spec)
+            for f in files
+            if f.lower().endswith(_EXTS)
+        ]
+    elif any(ch in spec for ch in "*?["):
+        paths = [p for p in glob.glob(spec, recursive=True) if p.lower().endswith(_EXTS)]
+    else:
+        paths = [spec] if os.path.isfile(spec) else []
+    return sorted(paths)
+
+
+def main(argv=None) -> str:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="image dir, glob, or file")
+    ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument("--format", default="jsonl", choices=("jsonl", "obj", "json"))
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--workers", type=int, default=8, help="host decode threads")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--quant-amax", default=None, help="int8 amax npz (tools/calibrate_int8.py)")
+    ap.add_argument("--resize-mode", default="longest_max_size",
+                    choices=("longest_max_size", "resize"))
+    ap.add_argument("--img-size", type=int, default=256)
+    ap.add_argument("--dtype", default="bf16")
+    args = ap.parse_args(argv)
+
+    paths = list_images(args.input)
+    if not paths:
+        raise SystemExit(f"no images under {args.input!r}")
+    os.makedirs(args.output, exist_ok=True)
+
+    import numpy as np
+
+    from ..api.predictor import FaceMeshPredictor
+    from ..data.dataset import read_as_rgb
+
+    config = {
+        "img_size": args.img_size,
+        "resize_mode": args.resize_mode,
+        "model": {"backbone": "resnet50", "dtype": args.dtype},
+    }
+    if args.quant_amax:
+        config["quant_amax"] = args.quant_amax
+    predictor = FaceMeshPredictor(config, checkpoint_path=args.checkpoint)
+
+    t0 = time.time()
+    images = [read_as_rgb(p) for p in paths]
+    preds = predictor.predict_images(
+        images, batch_size=args.batch, num_workers=args.workers
+    )
+    dt = time.time() - t0
+
+    if args.format == "jsonl":
+        out_path = os.path.join(args.output, "predictions.jsonl")
+        with open(out_path, "w") as f:
+            for p, pred in zip(paths, preds):
+                f.write(
+                    json.dumps(
+                        {
+                            "file": p,
+                            "points": np.asarray(pred["points"]).tolist(),
+                            "3dmm_params": np.asarray(pred["3dmm_params"][0]).tolist(),
+                        }
+                    )
+                    + "\n"
+                )
+    elif args.format == "obj":
+        from ..api.demo_utils import MeshSaver, get_mesh
+
+        saver = MeshSaver()
+        out_path = args.output
+        for p, pred in zip(paths, preds):
+            stem = os.path.splitext(os.path.basename(p))[0]
+            saver(get_mesh(pred, None), os.path.join(args.output, f"{stem}.obj"))
+    else:  # json: FLAME params per image
+        from ..api.demo_utils import JsonSaver, get_flame_params
+
+        saver = JsonSaver()
+        out_path = args.output
+        for p, pred in zip(paths, preds):
+            stem = os.path.splitext(os.path.basename(p))[0]
+            saver(get_flame_params(pred, None), os.path.join(args.output, f"{stem}.json"))
+
+    logger.info(
+        "predicted %d images in %.1fs (%.1f img/s) -> %s",
+        len(paths), dt, len(paths) / max(dt, 1e-9), out_path,
+    )
+    print(out_path)
+    return out_path
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO)
+    sys.exit(0 if main() else 1)
