@@ -31,6 +31,30 @@ from ..core.flame import FlameModel
 _FORMAT_VERSION = 1
 
 
+def _strip_folded_leaves(variables):
+    """Zero every leaf the int8 pipeline folds into its prepared kernels.
+
+    With ``qparams`` supplied, ``quantized_forward`` never reads the fp conv
+    kernels / BatchNorm stats of the encoder, BiFPN (except the w1/w2 fusion
+    weights), or heatmap head — XLA eliminates them as dead code — so the
+    compressed archive stores zeros there and only the live weights (fusion
+    layer, regression heads, w1/w2) plus the int8 kernels carry bytes. The
+    exported-vs-live parity test guards the dead-leaf classification."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(variables)
+    out = {}
+    for path_t, leaf in flat.items():
+        col, top = path_t[0], path_t[1]
+        dead = (
+            (col == "batch_stats" and top in ("encoder", "bifpn"))
+            or (col == "params" and top in ("encoder", "heatmap_head"))
+            or (col == "params" and top == "bifpn" and path_t[-1] not in ("w1", "w2"))
+        )
+        out[path_t] = np.zeros_like(leaf) if dead else leaf
+    return flax.traverse_util.unflatten_dict(out)
+
+
 def export_predictor(
     model,
     variables,
@@ -40,6 +64,7 @@ def export_predictor(
     stride: int = 4,
     constants: Optional[Dict[str, int]] = None,
     platforms: Sequence[str] = ("tpu", "cpu"),
+    quant_amax: Optional[Dict[str, Any]] = None,
 ) -> str:
     """Serialize the full predictor compute into one self-contained archive.
 
@@ -55,6 +80,13 @@ def export_predictor(
     not baked constants — the loader streams them straight from the archive.
     """
     constants = dict(constants or FLAME_CONSTS)
+    quantized = quant_amax is not None
+    if quantized:
+        from ..models.quantized import prepare_int8_params, quantized_forward
+
+        qparams = prepare_int8_params(model, variables, dtype=model.dtype, img_size=img_size)
+        q_leaves, q_def = jax.tree_util.tree_flatten(qparams)
+        variables = _strip_folded_leaves(variables)
     w_leaves, w_def = jax.tree_util.tree_flatten(variables)
     f_leaves, f_def = jax.tree_util.tree_flatten(flame)
 
@@ -62,10 +94,23 @@ def export_predictor(
     # parity holds by construction
     from .predictor import decode_3dmm_to_mesh, decode_pipeline_outputs
 
-    def pipeline(weights, images):
-        out = model.apply(jax.tree_util.tree_unflatten(w_def, weights), images, train=False)
-        res = decode_pipeline_outputs(out, stride, img_size)
-        return res["landmarks"], res["3dmm"]
+    if quantized:
+        # int8 artifact: the StableHLO runs the quantized mirror; the amax
+        # scalars bake in as constants, the int8 kernels travel as weights
+        def pipeline(weights, qleaves, images):
+            v = jax.tree_util.tree_unflatten(w_def, weights)
+            qp = jax.tree_util.tree_unflatten(q_def, qleaves)
+            out, _ = quantized_forward(
+                model, v, images, amax=quant_amax, mode="int8",
+                dtype=model.dtype, qparams=qp,
+            )
+            res = decode_pipeline_outputs(out, stride, img_size)
+            return res["landmarks"], res["3dmm"]
+    else:
+        def pipeline(weights, images):
+            out = model.apply(jax.tree_util.tree_unflatten(w_def, weights), images, train=False)
+            res = decode_pipeline_outputs(out, stride, img_size)
+            return res["landmarks"], res["3dmm"]
 
     def decode(flame_leaves, params_3dmm):
         fl = jax.tree_util.tree_unflatten(f_def, flame_leaves)
@@ -76,9 +121,10 @@ def export_predictor(
     mm_sds = jax.ShapeDtypeStruct((b, sum(constants.values())), jnp.float32)
     sds = lambda leaves: [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in leaves]
 
-    exp_pipe = jax_export.export(jax.jit(pipeline), platforms=tuple(platforms))(
-        sds(w_leaves), img_sds
+    pipe_args = (
+        (sds(w_leaves), sds(q_leaves), img_sds) if quantized else (sds(w_leaves), img_sds)
     )
+    exp_pipe = jax_export.export(jax.jit(pipeline), platforms=tuple(platforms))(*pipe_args)
     exp_dec = jax_export.export(jax.jit(decode), platforms=tuple(platforms))(
         sds(f_leaves), mm_sds
     )
@@ -92,6 +138,8 @@ def export_predictor(
         "jax_version": jax.__version__,
         "n_weight_leaves": len(w_leaves),
         "n_flame_leaves": len(f_leaves),
+        "quantized": quantized,
+        "n_qparam_leaves": len(q_leaves) if quantized else 0,
     }
     arrays: Dict[str, np.ndarray] = {
         "stablehlo_pipeline": np.frombuffer(exp_pipe.serialize(), np.uint8),
@@ -102,10 +150,15 @@ def export_predictor(
         arrays[f"w{i:04d}"] = np.asarray(x)
     for i, x in enumerate(f_leaves):
         arrays[f"f{i:04d}"] = np.asarray(x)
+    if quantized:
+        for i, x in enumerate(q_leaves):
+            arrays[f"q{i:04d}"] = np.asarray(x)
 
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:
-        np.savez(f, **arrays)
+        # compressed so the zeroed folded-away fp leaves cost ~nothing in the
+        # int8 artifact; plain for fp (faster load, nothing compressible)
+        (np.savez_compressed if quantized else np.savez)(f, **arrays)
     return path
 
 
@@ -133,11 +186,19 @@ class ExportedFaceMeshPredictor:
             self._flame = [
                 jnp.asarray(z[f"f{i:04d}"]) for i in range(meta["n_flame_leaves"])
             ]
+            self._qparams = [
+                jnp.asarray(z[f"q{i:04d}"])
+                for i in range(meta.get("n_qparam_leaves", 0))
+            ]
         self.meta = meta
         self._img_size = int(meta["img_size"])
         self.flame_constants = dict(meta["constants"])
         self._resize_mode = resize_mode
-        self._pipe_call = jax.jit(lambda w, x: self._pipe.call(w, x))
+        if meta.get("quantized"):
+            call3 = jax.jit(lambda w, q, x: self._pipe.call(w, q, x))
+            self._pipe_call = lambda w, x: call3(w, self._qparams, x)
+        else:
+            self._pipe_call = jax.jit(lambda w, x: self._pipe.call(w, x))
         self._dec_call = jax.jit(lambda f, mm: self._dec.call(f, mm))
 
     def __call__(self, image: np.ndarray) -> Dict[str, Any]:
@@ -152,7 +213,9 @@ class ExportedFaceMeshPredictor:
             image, self._img_size, mode=self._resize_mode
         )
         landmarks, pred_3dmm = self._pipe_call(self._weights, jnp.asarray(tensor[None]))
-        landmarks = readjust_landmarks_np(np.asarray(landmarks[0]), paddings, scale)
+        landmarks = readjust_landmarks_np(
+            np.asarray(landmarks)[0].reshape(-1, 2), paddings, scale
+        )
         pred_3dmm = readjust_3dmm_np(
             np.asarray(pred_3dmm), paddings, scale, self._img_size, self.flame_constants
         )
@@ -174,7 +237,7 @@ class ExportedFaceMeshPredictor:
         landmarks, pred_3dmm = self._pipe_call(self._weights, jnp.asarray(images))
         vertices_3d, projected = self._dec_call(self._flame, pred_3dmm)
         return {
-            "points": np.asarray(landmarks),
+            "points": np.asarray(landmarks).reshape(len(images), -1, 2),
             "projected_vertices": np.asarray(projected),
             "3d_vertices": np.asarray(vertices_3d),
             "3dmm_params": np.asarray(pred_3dmm),

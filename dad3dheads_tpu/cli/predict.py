@@ -84,7 +84,8 @@ def main(argv=None) -> str:
     t0 = time.time()
     images = [read_as_rgb(p) for p in paths]
     preds = predictor.predict_images(
-        images, batch_size=args.batch, num_workers=args.workers
+        images, batch_size=args.batch, num_workers=args.workers,
+        with_mesh=args.format != "jsonl",  # jsonl needs no mesh fetch
     )
     dt = time.time() - t0
 

@@ -189,6 +189,9 @@ def load_model(
 
         with open(checkpoint_path, "rb") as f:
             variables = serialization.from_bytes(variables, f.read())
+        # from_bytes yields host numpy leaves; re-put on device so repeated
+        # apply() calls don't re-upload the weights every time
+        variables = jax.tree_util.tree_map(jnp.asarray, variables)
     return model, variables
 
 

@@ -79,6 +79,10 @@ def preprocess_image_np(
     else:
         raise KeyError(f"unknown resize mode {mode!r}")
 
+    if normalize == "none":
+        # keep uint8: the device normalizes in-graph (normalize_batch_jax),
+        # and host->device transfer moves 4x fewer bytes
+        return image, scale, [pt, pb, pl, pr]
     x = image.astype(np.float32) / 255.0
     if normalize == "imagenet":
         x = (x - np.asarray(IMAGENET_MEAN, np.float32)) / np.asarray(IMAGENET_STD, np.float32)

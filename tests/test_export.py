@@ -90,3 +90,48 @@ def test_archive_metadata(exported):
     assert meta["platforms"] == ["cpu"]
     assert meta["constants"]["shape"] == 300
     assert meta["n_weight_leaves"] > 0 and meta["n_flame_leaves"] > 0
+
+
+def test_exported_int8_artifact(tmp_path, rng):
+    """int8 export: the artifact carries int8 kernels, strips the folded fp
+    leaves (compressed), and reproduces the live int8 predictor."""
+    import os
+
+    from dad3dheads_tpu.api.export import ExportedFaceMeshPredictor, export_predictor
+    from dad3dheads_tpu.api.predictor import FaceMeshPredictor
+    from dad3dheads_tpu.models.quantized import calibrate
+
+    cfg = {"img_size": 64, "model": {"backbone": "resnet50", "num_classes": 68}}
+    base = FaceMeshPredictor(cfg)
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 64, 3), jnp.float32)
+    amax = calibrate(base.model, base.variables, [x], dtype=jnp.float32)
+
+    fp_path = str(tmp_path / "fp.aot.npz")
+    q_path = str(tmp_path / "int8.aot.npz")
+    export_predictor(
+        base.model, base.variables, base.flame, fp_path,
+        img_size=64, platforms=("cpu",),
+    )
+    export_predictor(
+        base.model, base.variables, base.flame, q_path,
+        img_size=64, platforms=("cpu",), quant_amax=amax,
+    )
+    # stripped + compressed: the int8 artifact is much smaller than fp
+    assert os.path.getsize(q_path) < 0.55 * os.path.getsize(fp_path)
+
+    live = FaceMeshPredictor({**cfg, "quant_amax": amax})
+    loaded = ExportedFaceMeshPredictor(q_path)
+    assert loaded.meta["quantized"] is True
+
+    image = (rng.uniform(size=(90, 70, 3)) * 255).astype(np.uint8)
+    ref = live(image)
+    got = loaded(image)
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(got[k]).astype(np.float32),
+            np.asarray(ref[k]).astype(np.float32),
+            rtol=2e-3, atol=2e-3, err_msg=k,
+        )

@@ -87,3 +87,13 @@ def test_predict_cli_jsonl_and_obj(tmp_path, rng, monkeypatch):
     first = (out2 / "im0.obj").read_text().splitlines()
     assert sum(1 for l in first if l.startswith("v ")) == 5023
     assert sum(1 for l in first if l.startswith("f ")) == 9976
+
+
+def test_predict_images_without_mesh(small_predictor, rng):
+    imgs = _images(rng, 3)
+    bulk = small_predictor.predict_images(imgs, batch_size=2, with_mesh=False)
+    full = small_predictor.predict_images(imgs, batch_size=2)
+    assert all(set(p) == {"points", "3dmm_params"} for p in bulk)
+    for a, b in zip(bulk, full):
+        np.testing.assert_array_equal(a["points"], b["points"])
+        np.testing.assert_array_equal(a["3dmm_params"], b["3dmm_params"])

@@ -36,6 +36,11 @@ def main() -> None:
         "--platforms", nargs="+", default=["tpu", "cpu"],
         help="lowering platforms baked into the artifact",
     )
+    ap.add_argument(
+        "--quant-amax", default=None,
+        help="amax npz from tools/calibrate_int8.py: export the int8 pipeline "
+             "(int8 kernels as artifact weights, folded fp leaves stripped)",
+    )
     args = ap.parse_args()
 
     from dad3dheads_tpu.api.export import export_predictor
@@ -55,6 +60,11 @@ def main() -> None:
         checkpoint_path=args.checkpoint,
         flame_path=args.flame_path,
     )
+    quant_amax = None
+    if args.quant_amax:
+        from dad3dheads_tpu.models.quantized import load_amax
+
+        quant_amax = load_amax(args.quant_amax)
     path = export_predictor(
         predictor.model,
         predictor.variables,
@@ -63,6 +73,7 @@ def main() -> None:
         img_size=args.img_size,
         stride=args.stride,
         platforms=tuple(args.platforms),
+        quant_amax=quant_amax,
     )
     size_mb = os.path.getsize(path) / 1e6
     print(f"exported {path} ({size_mb:.1f} MB, platforms={args.platforms})")
