@@ -78,13 +78,20 @@ def generate_submission(
     embedding = LandmarkEmbedding.load()
 
     submission = {}
-    for el in items:
-        item_id = el["item_id"]
-        img = read_as_rgb(
-            f"{dataset_base}/DAD-3DHeadsDataset/{subset}/images/{item_id}.png"
-        )
-        preds = predictor(img)
-        submission[item_id] = predictions_to_submission_entry(preds, embedding)
+    # chunked batched prediction (predict_images): fixed-shape device batches
+    # + threaded decode, bounded host memory
+    chunk = 256
+    for lo in range(0, len(items), chunk):
+        part = items[lo : lo + chunk]
+        images = [
+            read_as_rgb(
+                f"{dataset_base}/DAD-3DHeadsDataset/{subset}/images/{el['item_id']}.png"
+            )
+            for el in part
+        ]
+        preds_list = predictor.predict_images(images, batch_size=32, num_workers=8)
+        for el, preds in zip(part, preds_list):
+            submission[el["item_id"]] = predictions_to_submission_entry(preds, embedding)
 
     os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
     with open(output_path, "w") as f:

@@ -147,6 +147,16 @@ class CheckpointManager:
         self.flush()
         return self._registry[0] if self._registry else None
 
+    @staticmethod
+    def _on_device(tree):
+        """from_bytes yields host numpy leaves; put them on device once so
+        consumers that call jitted functions in a loop (post-fit best eval,
+        resumed training) don't re-upload the state every call."""
+        import jax
+        import jax.numpy as jnp
+
+        return jax.tree_util.tree_map(jnp.asarray, tree)
+
     def restore(self, state_template, path: Optional[str] = None):
         """Load a checkpoint into the structure of ``state_template``.
 
@@ -165,18 +175,20 @@ class CheckpointManager:
         with open(path, "rb") as f:
             data = f.read()
         if entry is not None and entry.get("weights_only"):
-            weights = serialization.from_bytes(self._weights_of(state_template), data)
+            weights = self._on_device(
+                serialization.from_bytes(self._weights_of(state_template), data)
+            )
             if hasattr(state_template, "replace"):
                 return state_template.replace(
                     params=weights["params"], batch_stats=weights["batch_stats"]
                 )
             return weights
-        return serialization.from_bytes(state_template, data)
+        return self._on_device(serialization.from_bytes(state_template, data))
 
     def restore_last(self, state_template):
         self.flush()
         with open(os.path.join(self.directory, "last.msgpack"), "rb") as f:
-            return serialization.from_bytes(state_template, f.read())
+            return self._on_device(serialization.from_bytes(state_template, f.read()))
 
     def export_inference(self, state, path: Optional[str] = None) -> str:
         """Write the variables-only msgpack consumed by FaceMeshPredictor."""

@@ -104,3 +104,23 @@ def test_generate_gt_and_perfect_eval(synth_root, tmp_path):
     assert overall["pose_error"] == pytest.approx(0.0, abs=1e-4)
     assert overall["z5_accuracy"] == pytest.approx(1.0, abs=1e-6)
     assert overall["chamfer"] == pytest.approx(0.0, abs=5e-3)
+
+
+def test_generate_submission_batched(synth_root, tmp_path):
+    """generate_submission runs the batched predict_images path over a real
+    dataset directory and writes schema-valid entries for every item."""
+    import json
+
+    from dad3dheads_tpu.benchmark_harness.submission import generate_submission
+
+    out = str(tmp_path / "sub.json")
+    path = generate_submission(synth_root, subset="val", output_path=out)
+    with open(path) as f:
+        sub = json.load(f)
+    assert len(sub) == 3
+    for entry in sub.values():
+        assert set(entry) == {
+            "68_landmarks_2d", "N_landmarks_3d", "7_landmarks_3d", "rotation_matrix",
+        }
+        assert np.asarray(entry["68_landmarks_2d"]).shape == (68, 2)
+        assert np.asarray(entry["rotation_matrix"]).shape == (3, 3)
