@@ -110,3 +110,28 @@ def test_graft_entry_dryrun():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_train_step_mobilenet_backbone(setup):
+    """The second backbone family trains through the same one-jit step
+    (reference: encoder_mapping covers resnet50 AND mobilenet_w1,
+    /root/reference/model_training/model/encoders.py:51-54)."""
+    _, _, _, flame, batch = setup
+    model = create_model({"backbone": "mobilenet_w1"})
+    tx = get_optimizer({"name": "adam", "lr": 1e-4}, gradient_clip_val=5.0)
+    state = init_train_state(model, tx, jax.random.PRNGKey(2), (1, IMG, IMG, 3))
+    # the step donates its state argument — snapshot params to host first
+    params_before = jax.tree_util.tree_map(np.asarray, state.params)
+    step = build_train_step(model, tx, img_size=IMG)
+    state2, logs = step(
+        state, flame, batch, jax.random.PRNGKey(3), jnp.ones((), jnp.float32)
+    )
+    assert int(state2.step) == 1
+    assert np.isfinite(float(logs["loss"]))
+    # parameters actually moved
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(a - np.asarray(b)))),
+        params_before,
+        state2.params,
+    )
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
