@@ -135,3 +135,31 @@ def test_save_amax_suffixless_path(fp_model, tmp_path):
     p = save_amax(amax, str(tmp_path / "amax"))
     assert os.path.isfile(p)
     assert set(load_amax(p)) == set(amax)
+
+
+def test_int8_composes_with_mesh_sharding(fp_model, tmp_path, rng):
+    """int8 inference x data-parallel mesh: predict_batch shards the batch
+    over the 8-device mesh while running the quantized pipeline."""
+    from dad3dheads_tpu.api.predictor import FaceMeshPredictor, save_predictor_checkpoint
+    from dad3dheads_tpu.models.quantized import calibrate, save_amax
+    from dad3dheads_tpu.parallel.mesh import make_mesh
+
+    model, v, x = fp_model
+    ckpt = save_predictor_checkpoint(v, str(tmp_path / "ck.msgpack"))
+    amax_path = save_amax(calibrate(model, v, [x], dtype=jnp.float32), str(tmp_path / "amax.npz"))
+
+    mesh = make_mesh()  # 8 CPU devices on the data axis
+    predictor = FaceMeshPredictor(
+        {
+            "img_size": 64,
+            "model": {"backbone": "resnet50", "num_classes": 68},
+            "quant_amax": amax_path,
+        },
+        checkpoint_path=ckpt,
+        mesh=mesh,
+    )
+    images = (rng.uniform(size=(8, 64, 64, 3)) * 255).astype(np.uint8)
+    out = predictor.predict_batch(images)
+    assert out["points"].shape == (8, 68, 2)
+    assert out["3d_vertices"].shape == (8, 5023, 3)
+    assert np.isfinite(out["3dmm_params"]).all()
