@@ -28,7 +28,11 @@ from jax import export as jax_export
 from ..constants import FLAME_CONSTS, IMAGENET_MEAN, IMAGENET_STD
 from ..core.flame import FlameModel
 
-_FORMAT_VERSION = 1
+# v2: pipeline emits flat (b, 136) landmarks; optional int8 variant with a
+# 3-arg pipeline (weights, qparams, images). v1 artifacts still load (the
+# host reshape accepts either landmark shape); v2 artifacts are rejected by
+# v1 loaders with a clear version error instead of a shape/arity crash.
+_FORMAT_VERSION = 2
 
 
 def _strip_folded_leaves(variables):

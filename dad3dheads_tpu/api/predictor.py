@@ -173,7 +173,8 @@ class FaceMeshPredictor:
             from ..models.quantized import prepare_int8_params
 
             self.quant_qparams = prepare_int8_params(
-                self.model, self.variables, dtype=self.model.dtype
+                self.model, self.variables, dtype=self.model.dtype,
+                img_size=self._img_size,
             )
 
     # -- weights -----------------------------------------------------------
@@ -333,10 +334,15 @@ class FaceMeshPredictor:
         if not images:
             return []
         # uint8 tensors: 4x fewer host->device bytes; the jitted pipeline
-        # normalizes in-graph
-        prep = lambda im: preprocess_image_np(
-            im, self._img_size, normalize="none", mode=self._resize_mode
-        )
+        # normalizes in-graph (it only does so for uint8 batches, so coerce
+        # float 0-255 inputs to uint8 here — otherwise raw values would reach
+        # the network unnormalized)
+        def prep(im):
+            if im.dtype != np.uint8:
+                im = np.clip(np.round(im), 0, 255).astype(np.uint8)
+            return preprocess_image_np(
+                im, self._img_size, normalize="none", mode=self._resize_mode
+            )
         if num_workers > 1:
             with cf.ThreadPoolExecutor(num_workers) as ex:
                 prepped = list(ex.map(prep, images))

@@ -40,10 +40,13 @@ def list_images(spec: str) -> List[str]:
             for f in files
             if f.lower().endswith(_EXTS)
         ]
+    elif os.path.isfile(spec):
+        # an existing file wins even if its name contains glob chars ([ ] ?)
+        paths = [spec]
     elif any(ch in spec for ch in "*?["):
         paths = [p for p in glob.glob(spec, recursive=True) if p.lower().endswith(_EXTS)]
     else:
-        paths = [spec] if os.path.isfile(spec) else []
+        paths = []
     return sorted(paths)
 
 
@@ -60,6 +63,8 @@ def main(argv=None) -> str:
                     choices=("longest_max_size", "resize"))
     ap.add_argument("--img-size", type=int, default=256)
     ap.add_argument("--dtype", default="bf16")
+    ap.add_argument("--chunk", type=int, default=256,
+                    help="images decoded/held in host memory at once")
     args = ap.parse_args(argv)
 
     paths = list_images(args.input)
@@ -81,44 +86,53 @@ def main(argv=None) -> str:
         config["quant_amax"] = args.quant_amax
     predictor = FaceMeshPredictor(config, checkpoint_path=args.checkpoint)
 
+    # stream in chunks: decoded images + results for at most --chunk images
+    # live on the host at once, and outputs flush per chunk
     t0 = time.time()
-    images = [read_as_rgb(p) for p in paths]
-    preds = predictor.predict_images(
-        images, batch_size=args.batch, num_workers=args.workers,
-        with_mesh=args.format != "jsonl",  # jsonl needs no mesh fetch
-    )
-    dt = time.time() - t0
-
     if args.format == "jsonl":
         out_path = os.path.join(args.output, "predictions.jsonl")
-        with open(out_path, "w") as f:
-            for p, pred in zip(paths, preds):
-                f.write(
-                    json.dumps(
-                        {
-                            "file": p,
-                            "points": np.asarray(pred["points"]).tolist(),
-                            "3dmm_params": np.asarray(pred["3dmm_params"][0]).tolist(),
-                        }
+        sink = open(out_path, "w")
+    else:
+        out_path = args.output
+        sink = None
+    try:
+        for lo in range(0, len(paths), args.chunk):
+            part = paths[lo : lo + args.chunk]
+            images = [read_as_rgb(p) for p in part]
+            preds = predictor.predict_images(
+                images, batch_size=args.batch, num_workers=args.workers,
+                with_mesh=args.format != "jsonl",  # jsonl needs no mesh fetch
+            )
+            if args.format == "jsonl":
+                for p, pred in zip(part, preds):
+                    sink.write(
+                        json.dumps(
+                            {
+                                "file": p,
+                                "points": np.asarray(pred["points"]).tolist(),
+                                "3dmm_params": np.asarray(pred["3dmm_params"][0]).tolist(),
+                            }
+                        )
+                        + "\n"
                     )
-                    + "\n"
-                )
-    elif args.format == "obj":
-        from ..api.demo_utils import MeshSaver, get_mesh
+            elif args.format == "obj":
+                from ..api.demo_utils import MeshSaver, get_mesh
 
-        saver = MeshSaver()
-        out_path = args.output
-        for p, pred in zip(paths, preds):
-            stem = os.path.splitext(os.path.basename(p))[0]
-            saver(get_mesh(pred, None), os.path.join(args.output, f"{stem}.obj"))
-    else:  # json: FLAME params per image
-        from ..api.demo_utils import JsonSaver, get_flame_params
+                saver = MeshSaver()
+                for p, pred in zip(part, preds):
+                    stem = os.path.splitext(os.path.basename(p))[0]
+                    saver(get_mesh(pred, None), os.path.join(args.output, f"{stem}.obj"))
+            else:  # json: FLAME params per image
+                from ..api.demo_utils import JsonSaver, get_flame_params
 
-        saver = JsonSaver()
-        out_path = args.output
-        for p, pred in zip(paths, preds):
-            stem = os.path.splitext(os.path.basename(p))[0]
-            saver(get_flame_params(pred, None), os.path.join(args.output, f"{stem}.json"))
+                saver = JsonSaver()
+                for p, pred in zip(part, preds):
+                    stem = os.path.splitext(os.path.basename(p))[0]
+                    saver(get_flame_params(pred, None), os.path.join(args.output, f"{stem}.json"))
+    finally:
+        if sink is not None:
+            sink.close()
+    dt = time.time() - t0
 
     logger.info(
         "predicted %d images in %.1fs (%.1f img/s) -> %s",

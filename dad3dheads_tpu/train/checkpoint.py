@@ -147,6 +147,16 @@ class CheckpointManager:
         self.flush()
         return self._registry[0] if self._registry else None
 
+    def is_better(self, a: float, b: float) -> bool:
+        """True if ``a`` beats ``b`` under the configured mode."""
+        return self._is_better(a, b)
+
+    def best_value(self) -> Optional[float]:
+        """Best monitored value WITHOUT draining the async writer (reading
+        ``best`` every epoch would stall training behind slow checkpoint IO;
+        an in-flight save can make this at most one entry stale)."""
+        return self._registry[0]["value"] if self._registry else None
+
     @staticmethod
     def _on_device(tree):
         """from_bytes yields host numpy leaves; put them on device once so

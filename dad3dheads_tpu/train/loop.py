@@ -249,6 +249,9 @@ class Trainer:
 
         start_epoch = int(state.epoch)
         host_step = int(state.step)  # host mirror: no per-step device fetch
+        # best-so-far monitored value, tracked locally: reading ckpt.best
+        # every epoch would flush (join) the async checkpoint writer
+        best_seen = self.ckpt.best_value()
         for epoch in range(start_epoch, self.max_epochs):
             state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
             t0 = time.time()
@@ -316,15 +319,11 @@ class Trainer:
             # when the monitored metric improves — otherwise early stopping
             # could end the run with the best weights never on disk and
             # resume would silently lose the skipped epochs
-            best = self.ckpt.best
             improved = np.isfinite(monitored) and (
-                best is None
-                or (
-                    monitored < best["value"]
-                    if self.ckpt.mode == "min"
-                    else monitored > best["value"]
-                )
+                best_seen is None or self.ckpt.is_better(monitored, best_seen)
             )
+            if improved:
+                best_seen = monitored
             saved = (
                 (epoch + 1) % self.checkpoint_every_n_epochs == 0
                 or is_last_epoch

@@ -97,3 +97,13 @@ def test_predict_images_without_mesh(small_predictor, rng):
     for a, b in zip(bulk, full):
         np.testing.assert_array_equal(a["points"], b["points"])
         np.testing.assert_array_equal(a["3dmm_params"], b["3dmm_params"])
+
+
+def test_predict_images_accepts_float_inputs(small_predictor, rng):
+    """float 0-255 images must match the uint8 path (the pipeline only
+    normalizes uint8 batches in-graph, so floats are coerced on host)."""
+    img_u8 = (rng.uniform(size=(80, 60, 3)) * 255).astype(np.uint8)
+    a = small_predictor.predict_images([img_u8], batch_size=1)[0]
+    b = small_predictor.predict_images([img_u8.astype(np.float32)], batch_size=1)[0]
+    np.testing.assert_array_equal(a["points"], b["points"])
+    np.testing.assert_allclose(a["3dmm_params"], b["3dmm_params"], atol=1e-6)
