@@ -3,8 +3,16 @@
 Motivation (measured, see README "Roofline position"): the bf16 inference
 pipeline sustains ~80% of v5e HBM bandwidth — it is byte-bound, so the only
 way to go materially faster is to move fewer bytes. int8 halves activation
-and weight traffic and doubles MXU throughput (a 3x3 256ch conv chain at the
-hot 64x64 shape measures 1.95x faster than bf16 on chip).
+and weight traffic (a 3x3 256ch conv chain at the hot 64x64 shape measures
+1.95x faster than bf16 on chip).
+
+Where the win comes from (microbenched on chip, round 2): the speedup is
+ENTIRELY the halved HBM traffic of int8-resident activations — the int8
+matmul itself is no faster per FLOP than bf16 through XLA on v5e (a
+1M x 256 x 256 int8 dot runs 2.05 ms vs 1.70 ms bf16), and the requant
+epilogue fuses (0.07 ms standalone). A hand-written Pallas fused
+matmul+requant kernel exactly ties XLA (2.37 vs 2.39 ms) — there is no
+further kernel-level headroom to claim on this op.
 
 Design:
   * scales live in a ``quant`` flax variable collection next to params /
