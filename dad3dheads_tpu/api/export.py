@@ -231,6 +231,67 @@ class ExportedFaceMeshPredictor:
             "3dmm_params": pred_3dmm,
         }
 
+    def predict_images(
+        self, images, batch_size: int = 32, num_workers: int = 0,
+        with_mesh: bool = True,
+    ) -> list:
+        """Bulk original-frame prediction from the artifact (the deployment
+        analogue of FaceMeshPredictor.predict_images). The exported pipeline
+        carries a symbolic batch dimension, so every chunk — including the
+        ragged last one — runs through the same program without padding."""
+        import concurrent.futures as cf
+
+        from ..ops.preprocess import (
+            preprocess_image_np,
+            readjust_3dmm_np,
+            readjust_landmarks_np,
+        )
+
+        images = list(images)
+        if not images:
+            return []
+        prep = lambda im: preprocess_image_np(im, self._img_size, mode=self._resize_mode)
+        if num_workers > 1:
+            with cf.ThreadPoolExecutor(num_workers) as ex:
+                prepped = list(ex.map(prep, images))
+        else:
+            prepped = [prep(im) for im in images]
+
+        results = []
+        for lo in range(0, len(prepped), batch_size):
+            chunk = prepped[lo : lo + batch_size]
+            x = np.stack([t for t, _, _ in chunk])
+            landmarks, mm = self._pipe_call(self._weights, jnp.asarray(x))
+            landmarks = np.asarray(landmarks).reshape(len(chunk), -1, 2)
+            mm = np.asarray(mm)
+            pts, adj = [], []
+            for j, (_, scale, pads) in enumerate(chunk):
+                pts.append(readjust_landmarks_np(landmarks[j], pads, scale))
+                adj.append(
+                    readjust_3dmm_np(
+                        mm[j : j + 1], pads, scale, self._img_size, self.flame_constants
+                    )
+                )
+            adj = np.concatenate(adj, 0)
+            if not with_mesh:
+                results.extend(
+                    {"points": np.reshape(p, (-1, 2)), "3dmm_params": adj[j : j + 1]}
+                    for j, p in enumerate(pts)
+                )
+                continue
+            v3, proj = self._dec_call(self._flame, jnp.asarray(adj))
+            v3, proj = np.asarray(v3), np.asarray(proj)
+            results.extend(
+                {
+                    "points": np.reshape(pts[j], (-1, 2)),
+                    "projected_vertices": proj[j : j + 1],
+                    "3d_vertices": v3[j],
+                    "3dmm_params": adj[j : j + 1],
+                }
+                for j in range(len(chunk))
+            )
+        return results
+
     def predict_batch(self, images: np.ndarray) -> Dict[str, Any]:
         """Batched prediction on pre-sized square inputs (B, S, S, 3), uint8
         or fp32-normalized. Network-frame outputs (no readjustment)."""

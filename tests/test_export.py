@@ -135,3 +135,26 @@ def test_exported_int8_artifact(tmp_path, rng):
             np.asarray(ref[k]).astype(np.float32),
             rtol=2e-3, atol=2e-3, err_msg=k,
         )
+
+
+def test_exported_predict_images_matches_call(exported, rng):
+    """Bulk deployment serving: predict_images on the artifact reproduces the
+    per-image __call__ contract, including the ragged last chunk."""
+    from dad3dheads_tpu.api.export import ExportedFaceMeshPredictor
+
+    _, path = exported
+    loaded = ExportedFaceMeshPredictor(path)
+    images = [
+        (rng.uniform(size=(h, w, 3)) * 255).astype(np.uint8)
+        for h, w in [(150, 120), (90, 160), (128, 128)]
+    ]
+    bulk = loaded.predict_images(images, batch_size=2, num_workers=2)
+    assert len(bulk) == 3
+    for img, got in zip(images, bulk):
+        ref = loaded(img)
+        assert set(got) == set(ref)
+        np.testing.assert_array_equal(got["points"], ref["points"])
+        np.testing.assert_allclose(got["3dmm_params"], ref["3dmm_params"], atol=1e-5)
+        np.testing.assert_allclose(got["3d_vertices"], ref["3d_vertices"], atol=1e-5)
+    slim = loaded.predict_images(images, batch_size=2, with_mesh=False)
+    assert all(set(p) == {"points", "3dmm_params"} for p in slim)
