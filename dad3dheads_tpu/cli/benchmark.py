@@ -17,6 +17,10 @@ import argparse
 
 
 def main() -> None:
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
 

@@ -79,6 +79,10 @@ def demo(
 
 
 def main() -> None:
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True, help="input image path")
     ap.add_argument("--out", default="outputs", help="output folder")

@@ -51,6 +51,10 @@ def list_images(spec: str) -> List[str]:
 
 
 def main(argv=None) -> str:
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True, help="image dir, glob, or file")
     ap.add_argument("--output", required=True, help="output directory")

@@ -73,6 +73,10 @@ def build_loaders(config: Dict[str, Any]):
 
 
 def main() -> None:
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default="configs/train.yaml")
     ap.add_argument("--synthetic", type=int, default=0, help="train on N synthetic steps/epoch")

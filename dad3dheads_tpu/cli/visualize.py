@@ -55,6 +55,10 @@ def visualize(
 
 
 def main() -> None:
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--subset", required=True, choices=["train", "val", "test"])
     ap.add_argument("--id", required=True)

@@ -72,3 +72,26 @@ def annotate(name: str):
     import jax
 
     return jax.profiler.TraceAnnotation(name)
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Turn on JAX's persistent compilation cache for CLI invocations.
+
+    Every CLI process pays the full XLA compile otherwise (measured 27.4 s ->
+    7.6 s for the flagship forward on the tunneled TPU with the cache warm).
+    Opt out with DAD3D_NO_COMPILE_CACHE=1. Safe to call unconditionally —
+    failures (read-only home, old jax) degrade to uncached compiles."""
+    if os.environ.get("DAD3D_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    path = path or os.path.join(
+        os.path.expanduser("~"), ".cache", "dad3dheads_tpu", "jax"
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # noqa: BLE001 — cache is an optimization, never fatal
+        logging.getLogger(__name__).debug("compilation cache unavailable", exc_info=True)
