@@ -88,8 +88,10 @@ class CheckpointManager:
             return {"params": state.params, "batch_stats": state.batch_stats}
         return state
 
-    def _save_impl(self, state, epoch: int, metrics: Dict[str, float]) -> Optional[str]:
-        if self.save_last:
+    def _save_impl(
+        self, state, epoch: int, metrics: Dict[str, float], update_last: bool = True
+    ) -> Optional[str]:
+        if self.save_last and update_last:
             self._write_bytes(
                 serialization.to_bytes(state), os.path.join(self.directory, "last.msgpack")
             )
@@ -120,12 +122,16 @@ class CheckpointManager:
         return path
 
     # -- public API --------------------------------------------------------
-    def save(self, state, epoch: int, metrics: Dict[str, float]) -> Optional[str]:
-        """Save if within the top-k; always refresh 'last'. Synchronous mode
-        returns the new top-k path (None if not top-k); async mode snapshots
-        the state on device, queues the write, and returns None."""
+    def save(
+        self, state, epoch: int, metrics: Dict[str, float], update_last: bool = True
+    ) -> Optional[str]:
+        """Save if within the top-k; refresh 'last' unless ``update_last`` is
+        False (used to flush a held best-epoch snapshot without clobbering
+        the resume state). Synchronous mode returns the new top-k path (None
+        if not top-k); async mode snapshots the state on device, queues the
+        write, and returns None."""
         if not self.async_save:
-            return self._save_impl(state, epoch, metrics)
+            return self._save_impl(state, epoch, metrics, update_last)
 
         snapshot = _device_snapshot(state)
         from concurrent.futures import ThreadPoolExecutor
@@ -133,7 +139,9 @@ class CheckpointManager:
         if self._executor is None:
             self._executor = ThreadPoolExecutor(1)
         self.flush()  # at most one write in flight
-        self._pending = self._executor.submit(self._save_impl, snapshot, epoch, dict(metrics))
+        self._pending = self._executor.submit(
+            self._save_impl, snapshot, epoch, dict(metrics), update_last
+        )
         return None
 
     def flush(self) -> None:
