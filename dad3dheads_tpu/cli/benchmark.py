@@ -17,9 +17,6 @@ import argparse
 
 
 def main() -> None:
-    from ..utils import enable_compilation_cache
-
-    enable_compilation_cache()
 
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -35,6 +32,10 @@ def main() -> None:
     gg.add_argument("--output-dir", default="data")
 
     args = ap.parse_args()
+
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
     if args.cmd == "evaluate":
         from ..benchmark_harness import evaluate
 

@@ -79,9 +79,6 @@ def demo(
 
 
 def main() -> None:
-    from ..utils import enable_compilation_cache
-
-    enable_compilation_cache()
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True, help="input image path")
@@ -91,6 +88,10 @@ def main() -> None:
     )
     ap.add_argument("--checkpoint", default=None, help="model checkpoint (msgpack)")
     args = ap.parse_args()
+
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
     path = demo(args.input, args.out, args.type, args.checkpoint)
     print(path)
 

@@ -51,9 +51,6 @@ def list_images(spec: str) -> List[str]:
 
 
 def main(argv=None) -> str:
-    from ..utils import enable_compilation_cache
-
-    enable_compilation_cache()
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True, help="image dir, glob, or file")
@@ -70,6 +67,10 @@ def main(argv=None) -> str:
     ap.add_argument("--chunk", type=int, default=256,
                     help="images decoded/held in host memory at once")
     args = ap.parse_args(argv)
+
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
     paths = list_images(args.input)
     if not paths:

@@ -73,9 +73,6 @@ def build_loaders(config: Dict[str, Any]):
 
 
 def main() -> None:
-    from ..utils import enable_compilation_cache
-
-    enable_compilation_cache()
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default="configs/train.yaml")
@@ -83,6 +80,10 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("overrides", nargs="*", help="dotted key=value config overrides")
     args = ap.parse_args()
+
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from ..core.flame import FlameModel
     from ..core.landmarks import LandmarkEmbedding

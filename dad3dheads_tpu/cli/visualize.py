@@ -55,9 +55,6 @@ def visualize(
 
 
 def main() -> None:
-    from ..utils import enable_compilation_cache
-
-    enable_compilation_cache()
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--subset", required=True, choices=["train", "val", "test"])
@@ -65,6 +62,10 @@ def main() -> None:
     ap.add_argument("--base-path", default="dataset")
     ap.add_argument("--out", default="outputs")
     args = ap.parse_args()
+
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
     print(visualize(args.subset, args.id, args.base_path, args.out))
 
 

@@ -139,23 +139,12 @@ class Trainer:
             async_save=bool(config.get("async_checkpoint", True)),
         )
         self.checkpoint_every_n_epochs = int(config.get("checkpoint_every_n_epochs", 1))
-        # device-side snapshot of the best epoch between checkpoint intervals
-        self._pending_best = None
         # pred-vs-GT image panels every N steps (reference mixins.py:55-171,
         # freq from train_stage images_log_freq; 0 disables)
         self.images_log_freq = int(config.get("images_log_freq", 0))
         self._viz_forward = None
         self._tb = None
         self._log_file = open(os.path.join(self.experiment_dir, "metrics.jsonl"), "a")
-
-    def _flush_pending_best(self) -> None:
-        """Write the held best-epoch device snapshot into the top-k registry
-        (without touching 'last' — it belongs to the newest state)."""
-        if self._pending_best is None:
-            return
-        snap, ep, met = self._pending_best
-        self._pending_best = None
-        self.ckpt.save(snap, ep, met, update_last=False)
 
     # -- logging ----------------------------------------------------------
     def _tb_writer(self):
@@ -263,124 +252,113 @@ class Trainer:
         # best-so-far monitored value, tracked locally: reading ckpt.best
         # every epoch would flush (join) the async checkpoint writer
         best_seen = self.ckpt.best_value()
-        for epoch in range(start_epoch, self.max_epochs):
-            state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
-            t0 = time.time()
-            acc = MetricAccumulator()
-            n_batches = 0
-            from ..parallel.prefetch import device_prefetch
-
-            # epoch-granular schedule factor (the reference steps its LR
-            # schedulers once per epoch; per-step warmup is separate)
-            sched_factor = float(self.schedule(epoch)) if self.schedule else 1.0
-            for batch in device_prefetch(self.train_loader, self.mesh):
-                host_step += 1
-                state, logs = self.train_step(
-                    state,
-                    flame,
-                    batch,
-                    rng,
-                    jnp.asarray(lr_mult * sched_factor, jnp.float32),
-                )
-                acc.add(logs)
-                n_batches += 1
-                if self.images_log_freq and host_step % self.images_log_freq == 0:
-                    self.log_image_panels(state, batch, host_step)
-                if preempted["flag"]:
-                    break
-            if preempted["flag"]:
-                self.ckpt.save(state, epoch, {})
-                self._flush_pending_best()
-                self.ckpt.flush()
-                logger.info("preemption checkpoint saved at step %d", host_step)
-                break
-            train_metrics = {f"train/{k}": v for k, v in acc.means().items()}
-
-            val_metrics: Dict[str, float] = {}
-            if self.val_loader is not None:
-                vacc = MetricAccumulator()
+        try:
+            for epoch in range(start_epoch, self.max_epochs):
+                state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
+                t0 = time.time()
+                acc = MetricAccumulator()
+                n_batches = 0
                 from ..parallel.prefetch import device_prefetch
 
-                for batch in device_prefetch(self.val_loader, self.mesh):
-                    vacc.add(self.eval_step(state, flame, batch))
-                val_metrics = {f"valid/{k}": v for k, v in vacc.means().items()}
+                # epoch-granular schedule factor (the reference steps its LR
+                # schedulers once per epoch; per-step warmup is separate)
+                sched_factor = float(self.schedule(epoch)) if self.schedule else 1.0
+                for batch in device_prefetch(self.train_loader, self.mesh):
+                    host_step += 1
+                    state, logs = self.train_step(
+                        state,
+                        flame,
+                        batch,
+                        rng,
+                        jnp.asarray(lr_mult * sched_factor, jnp.float32),
+                    )
+                    acc.add(logs)
+                    n_batches += 1
+                    if self.images_log_freq and host_step % self.images_log_freq == 0:
+                        self.log_image_panels(state, batch, host_step)
+                    if preempted["flag"]:
+                        break
+                if preempted["flag"]:
+                    self.ckpt.save(state, epoch, {})
+                    self.ckpt.flush_held()
+                    self.ckpt.flush()
+                    logger.info("preemption checkpoint saved at step %d", host_step)
+                    break
+                train_metrics = {f"train/{k}": v for k, v in acc.means().items()}
 
-            # the LR actually applied this epoch: base * plateau-mult *
-            # epoch-schedule factor * linear warmup at the current step
-            warmup = (
-                min(1.0, (host_step + 1.0) / self.warmup_steps) if self.warmup_steps > 0 else 1.0
-            )
-            actual_lr = self.base_lr * lr_mult * sched_factor * warmup
-            epoch_metrics = {**train_metrics, **val_metrics, "train/learning_rate": actual_lr}
-            self.log_metrics(epoch_metrics, int(state.step))
-            logger.info(
-                "epoch %d done in %.1fs (%d batches): loss=%.4f %s",
-                epoch,
-                time.time() - t0,
-                n_batches,
-                epoch_metrics.get("train/loss", float("nan")),
-                {k: round(v, 4) for k, v in val_metrics.items() if "nme" in k},
-            )
+                val_metrics: Dict[str, float] = {}
+                if self.val_loader is not None:
+                    vacc = MetricAccumulator()
+                    from ..parallel.prefetch import device_prefetch
 
-            monitored_key = self.ckpt.monitor
-            monitored = epoch_metrics.get(
-                monitored_key, epoch_metrics.get("train/loss", float("nan"))
-            )
-            is_last_epoch = epoch + 1 >= self.max_epochs
-            # skipped epochs (checkpoint_every_n_epochs > 1) must still save
-            # when the monitored metric improves — otherwise early stopping
-            # could end the run with the best weights never on disk and
-            # resume would silently lose the skipped epochs
-            improved = np.isfinite(monitored) and (
-                best_seen is None or self.ckpt.is_better(monitored, best_seen)
-            )
-            if improved:
-                best_seen = monitored
-            saved = (epoch + 1) % self.checkpoint_every_n_epochs == 0 or is_last_epoch
-            if saved:
-                self.ckpt.save(state, epoch, {monitored_key: monitored, **epoch_metrics})
-                if improved:
-                    self._pending_best = None  # this epoch's own save covers it
-            elif improved:
-                # the best epoch between checkpoint intervals must not be
-                # lost, but a full disk save per improvement stalls training
-                # behind checkpoint IO (measured 1,011 -> 36 img/s through
-                # the tunnel): hold a DEVICE-side snapshot (async copy, no
-                # host transfer) and flush it to disk at early stop,
-                # preemption, or fit end
-                from .checkpoint import _device_snapshot
+                    for batch in device_prefetch(self.val_loader, self.mesh):
+                        vacc.add(self.eval_step(state, flame, batch))
+                    val_metrics = {f"valid/{k}": v for k, v in vacc.means().items()}
 
-                payload = (
-                    {"params": state.params, "batch_stats": state.batch_stats}
-                    if self.ckpt.weights_only_top_k
-                    else state
+                # the LR actually applied this epoch: base * plateau-mult *
+                # epoch-schedule factor * linear warmup at the current step
+                warmup = (
+                    min(1.0, (host_step + 1.0) / self.warmup_steps) if self.warmup_steps > 0 else 1.0
                 )
-                self._pending_best = (
-                    _device_snapshot(payload),
+                actual_lr = self.base_lr * lr_mult * sched_factor * warmup
+                epoch_metrics = {**train_metrics, **val_metrics, "train/learning_rate": actual_lr}
+                self.log_metrics(epoch_metrics, int(state.step))
+                logger.info(
+                    "epoch %d done in %.1fs (%d batches): loss=%.4f %s",
                     epoch,
-                    {monitored_key: monitored, **epoch_metrics},
+                    time.time() - t0,
+                    n_batches,
+                    epoch_metrics.get("train/loss", float("nan")),
+                    {k: round(v, 4) for k, v in val_metrics.items() if "nme" in k},
                 )
 
-            if self.plateau is not None and np.isfinite(monitored):
-                lr_mult = self.plateau.step(monitored, self.base_lr * lr_mult)
-            if (
-                self.early_stopping is not None
-                and epoch + 1 >= self.min_epochs
-                and np.isfinite(monitored)
-                and self.early_stopping.step(monitored)
-            ):
-                logger.info("early stopping at epoch %d", epoch)
-                if not saved:
-                    self.ckpt.save(state, epoch, {})  # refresh 'last' for resume
-                break
+                monitored_key = self.ckpt.monitor
+                monitored = epoch_metrics.get(
+                    monitored_key, epoch_metrics.get("train/loss", float("nan"))
+                )
+                is_last_epoch = epoch + 1 >= self.max_epochs
+                # skipped epochs (checkpoint_every_n_epochs > 1) must still save
+                # when the monitored metric improves — otherwise early stopping
+                # could end the run with the best weights never on disk and
+                # resume would silently lose the skipped epochs
+                improved = np.isfinite(monitored) and (
+                    best_seen is None or self.ckpt.is_better(monitored, best_seen)
+                )
+                if improved:
+                    best_seen = monitored
+                saved = (epoch + 1) % self.checkpoint_every_n_epochs == 0 or is_last_epoch
+                if saved:
+                    self.ckpt.save(state, epoch, {monitored_key: monitored, **epoch_metrics})
+                elif improved:
+                    # the best epochs between checkpoint intervals must not be
+                    # lost, but a full disk save per improvement stalls training
+                    # behind checkpoint IO: the manager keeps device snapshots
+                    # and writes them at early stop, preemption, or fit end
+                    self.ckpt.hold(state, epoch, {monitored_key: monitored, **epoch_metrics})
 
-        for sig, handler in old_handlers.items():
-            signal.signal(sig, handler)
+                if self.plateau is not None and np.isfinite(monitored):
+                    lr_mult = self.plateau.step(monitored, self.base_lr * lr_mult)
+                if (
+                    self.early_stopping is not None
+                    and epoch + 1 >= self.min_epochs
+                    and np.isfinite(monitored)
+                    and self.early_stopping.step(monitored)
+                ):
+                    logger.info("early stopping at epoch %d", epoch)
+                    if not saved:
+                        self.ckpt.save(state, epoch, {})  # refresh 'last' for resume
+                    break
+
+        finally:
+            for sig, handler in old_handlers.items():
+                signal.signal(sig, handler)
+            # durability: held best-epoch snapshots reach disk even when
+            # fit raises mid-run (loader failure, debug_nans abort, ...)
+            self.ckpt.flush_held()
 
         # export the best checkpoint (by the monitored metric) for inference,
         # falling back to the final state (reference exports the best too —
         # trainer.py:47-52)
-        self._flush_pending_best()
         self.ckpt.flush()  # drain any in-flight async write before restoring
         export_state = state
         restored_best = False

@@ -81,7 +81,7 @@ def enable_compilation_cache(path: str | None = None) -> None:
     7.6 s for the flagship forward on the tunneled TPU with the cache warm).
     Opt out with DAD3D_NO_COMPILE_CACHE=1. Safe to call unconditionally —
     failures (read-only home, old jax) degrade to uncached compiles."""
-    if os.environ.get("DAD3D_NO_COMPILE_CACHE"):
+    if os.environ.get("DAD3D_NO_COMPILE_CACHE", "").lower() not in ("", "0", "false"):
         return
     import jax
 

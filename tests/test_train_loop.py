@@ -262,3 +262,25 @@ def test_checkpoint_save_without_updating_last(tmp_path):
     assert p is not None and os.path.isfile(p)
     assert (tmp_path / "last.msgpack").read_bytes() == last0  # untouched
     assert mgr.best["epoch"] == 1 and mgr.best["value"] == 3.0
+
+
+def test_checkpoint_hold_and_flush(tmp_path):
+    """hold() keeps the save_top_k best between-interval epochs as device
+    snapshots with zero host IO; flush_held() writes them into the registry
+    without touching 'last'."""
+    mgr = CheckpointManager(str(tmp_path), monitor="m", mode="min", save_top_k=2)
+    for epoch, m in enumerate([5.0, 3.0, 4.0, 1.0]):
+        mgr.hold(
+            {"params": {"w": np.full(2, float(epoch), np.float32)}, "batch_stats": {}},
+            epoch,
+            {"m": m},
+        )
+        assert not os.listdir(tmp_path) or os.listdir(tmp_path) == ["registry.json"]
+    assert len(mgr._held) == 2  # capped at save_top_k, best kept
+    mgr.flush_held()
+    assert sorted(e["value"] for e in mgr._registry) == [1.0, 3.0]
+    assert not os.path.exists(tmp_path / "last.msgpack")
+    assert mgr._held == []
+    # the best entry restores to epoch 3's weights
+    restored = mgr.restore({"params": {"w": np.zeros(2, np.float32)}, "batch_stats": {}})
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]), 3.0)
