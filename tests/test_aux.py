@@ -1,6 +1,7 @@
 """Aux subsystems: visualization panels, submission generator, utils."""
 
 import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -89,3 +90,21 @@ def test_predictor_from_yaml():
     p = FaceMeshPredictor.from_yaml("configs/dad_3dnet.yaml")
     assert p._img_size == 256 and p._stride == 4
     assert p.flame_constants["shape"] == 300
+
+
+def test_compilation_cache_opt_out(monkeypatch, tmp_path):
+    """enable_compilation_cache honors 0/false/empty as 'not opted out' and
+    any other value as opt-out; the cache dir is created when enabled."""
+    import jax
+
+    from dad3dheads_tpu.utils import enable_compilation_cache
+
+    target = str(tmp_path / "cache")
+    monkeypatch.setenv("DAD3D_NO_COMPILE_CACHE", "1")
+    enable_compilation_cache(target)
+    assert not os.path.isdir(target)  # opted out: untouched
+
+    monkeypatch.setenv("DAD3D_NO_COMPILE_CACHE", "0")
+    enable_compilation_cache(target)
+    assert os.path.isdir(target)
+    assert jax.config.jax_compilation_cache_dir == target
