@@ -91,6 +91,10 @@ def main() -> None:
     ap.add_argument("--skip-train", action="store_true")
     args = ap.parse_args()
 
+    from dad3dheads_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     py = sys.executable
     tool_dir = os.path.dirname(os.path.abspath(__file__))
     if not args.skip_generate:

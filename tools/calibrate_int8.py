@@ -34,6 +34,10 @@ def main() -> None:
     ap.add_argument("--dtype", default="bf16")
     args = ap.parse_args()
 
+    from dad3dheads_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax.numpy as jnp
     import numpy as np
 

@@ -43,6 +43,10 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    from dad3dheads_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from dad3dheads_tpu.api.export import export_predictor
     from dad3dheads_tpu.api.predictor import FaceMeshPredictor
 

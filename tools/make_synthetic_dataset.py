@@ -43,6 +43,10 @@ def main() -> None:
     ap.add_argument("--with-attributes", action="store_true")
     args = ap.parse_args()
 
+    from dad3dheads_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import cv2
     import jax
     import jax.numpy as jnp
