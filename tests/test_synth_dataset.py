@@ -124,3 +124,18 @@ def test_generate_submission_batched(synth_root, tmp_path):
         }
         assert np.asarray(entry["68_landmarks_2d"]).shape == (68, 2)
         assert np.asarray(entry["rotation_matrix"]).shape == (3, 3)
+
+
+def test_visualize_gt_cli(synth_root, tmp_path):
+    """The GT visualizer projects dataset annotations onto the image and
+    writes <id>_GT_landmarks.png (reference visualize.py behavior)."""
+    from dad3dheads_tpu.cli.visualize import visualize
+
+    ann_dir = os.path.join(synth_root, "DAD-3DHeadsDataset", "val", "annotations")
+    item_id = os.path.splitext(os.listdir(ann_dir)[0])[0]
+    out = visualize("val", item_id, base_path=synth_root, outputs_folder=str(tmp_path))
+    assert out.endswith("_GT_landmarks.png") and os.path.isfile(out)
+    import cv2
+
+    img = cv2.imread(out)
+    assert img is not None and img.sum() > 0
