@@ -33,7 +33,7 @@ backend/1gpu.yaml:5) — this is TPU-native headroom beyond parity.
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import flax.linen as nn
 import jax
