@@ -14,17 +14,14 @@ epilogue fuses (0.07 ms standalone). A hand-written Pallas fused
 matmul+requant kernel exactly ties XLA (2.37 vs 2.39 ms) — there is no
 further kernel-level headroom to claim on this op.
 
-Design:
-  * scales live in a ``quant`` flax variable collection next to params /
-    batch_stats, so one model definition serves fp and int8 (``quant_mode``
-    static attr: "off" | "calib" | "int8").
-  * calibration = a few fp forward passes with ``mutable=["quant"]``; each
-    quantized op records the running max |x| of its input (and output).
+Design (see models/quantized.py for the pipeline that uses these
+primitives):
+  * calibration = fp forward passes recording the running max |x| at every
+    quantization site into a plain amax dict (saved as .npz);
   * int8 mode: BatchNorm is folded into the conv (eval-time running stats),
     weights are quantized per-output-channel, activations per-tensor; conv
-    runs int8 x int8 -> int32 on the MXU and the dequant + bias + ReLU +
-    requant epilogue fuses into the conv output in registers, so inter-layer
-    tensors stay int8-resident in HBM.
+    runs int8 x int8 -> int32 on the MXU with a dequant + bias + ReLU +
+    requant epilogue, so inter-layer tensors stay int8-resident in HBM.
 
 This is an inference-only, opt-in mode; training and the parity-checked fp
 path are untouched. The reference has no quantized path (precision: 32,
@@ -35,7 +32,6 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
-import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
@@ -58,22 +54,6 @@ def dequantize(q: QTensor, dtype=jnp.float32) -> jax.Array:
 
 def _amax_scale(amax: jax.Array) -> jax.Array:
     return jnp.maximum(amax, 1e-8) / 127.0
-
-
-class AmaxObserver(nn.Module):
-    """Records the running max |x| into the ``quant`` collection ("calib"
-    mode) or converts the stored amax into a scale ("int8" mode)."""
-
-    name_suffix: str = "in"
-
-    @nn.compact
-    def __call__(self, x: Optional[jax.Array], record: bool) -> jax.Array:
-        amax = self.variable(
-            "quant", f"amax_{self.name_suffix}", lambda: jnp.zeros((), jnp.float32)
-        )
-        if record and x is not None and not self.is_initializing():
-            amax.value = jnp.maximum(amax.value, jnp.max(jnp.abs(x)).astype(jnp.float32))
-        return _amax_scale(amax.value)
 
 
 def fold_bn(kernel, bn_scale, bn_bias, bn_mean, bn_var, eps):
