@@ -139,3 +139,33 @@ def test_visualize_gt_cli(synth_root, tmp_path):
 
     img = cv2.imread(out)
     assert img is not None and img.sum() > 0
+
+
+def test_mesh_sidecar_cache(synth_root):
+    """_load_mesh caches parsed annotations as raw .npy sidecars (86% of the
+    per-item cost was json parsing); the cached read must be bit-identical
+    and stale caches must be ignored."""
+    import glob
+    import time
+
+    from dad3dheads_tpu.data.dataset import FlameDataset
+
+    ann = sorted(
+        glob.glob(os.path.join(synth_root, "DAD-3DHeadsDataset", "val", "annotations", "*.json"))
+    )[0]
+    for f in glob.glob(ann + ".cache.npy*"):
+        os.remove(f)
+    cold = FlameDataset._load_mesh(ann)
+    assert os.path.isfile(ann + ".cache.npy")
+    warm = FlameDataset._load_mesh(ann)
+    for a, b in zip(cold, warm):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # stale cache (json newer) is ignored: corrupt it, mark the json newer,
+    # and the reparse must still return the true values
+    with open(ann + ".cache.npy", "wb") as f:
+        f.write(b"garbage")
+    now = time.time() + 10
+    os.utime(ann, (now, now))
+    re = FlameDataset._load_mesh(ann)
+    for a, b in zip(cold, re):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
