@@ -33,11 +33,26 @@ def _sanitize(name: str) -> str:
     return re.sub(r"[^A-Za-z0-9_.=-]", "_", name)
 
 
+_jit_tree_copy = None
+
+
 def _device_snapshot(tree):
-    """Copy every jax.Array leaf into fresh device buffers (async dispatch)."""
+    """Copy every jax.Array leaf into fresh device buffers (async dispatch).
+
+    One jitted call for the whole tree: per-leaf ``jnp.copy`` costs one
+    dispatch per leaf (hundreds of round trips on a remote attachment, which
+    measurably stalled the fit loop on every held best epoch); a single jit
+    copies everything in one executable launch."""
     import jax
     import jax.numpy as jnp
 
+    global _jit_tree_copy
+    if _jit_tree_copy is None:
+        _jit_tree_copy = jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))
+
+    leaves = jax.tree_util.tree_leaves(tree)
+    if leaves and all(isinstance(x, jax.Array) for x in leaves):
+        return _jit_tree_copy(tree)
     return jax.tree_util.tree_map(
         lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, tree
     )
