@@ -139,6 +139,15 @@ class Trainer:
             async_save=bool(config.get("async_checkpoint", True)),
         )
         self.checkpoint_every_n_epochs = int(config.get("checkpoint_every_n_epochs", 1))
+        # Fail-fast + mid-epoch validation (reference: PL's num_sanity_val_steps
+        # default and Trainer(val_check_interval=...), train/utils.py:70-77):
+        # sanity_val_steps runs K val batches through the eval step BEFORE any
+        # training so a broken val pipeline or metric-key typo surfaces
+        # immediately, not after epoch 1; val_check_interval is either an int
+        # (validate every N train steps) or a float fraction of an epoch
+        # (resolved once the first epoch establishes the epoch length).
+        self.sanity_val_steps = int(config.get("sanity_val_steps", 2))
+        self.val_check_interval = config.get("val_check_interval")
         # pred-vs-GT image panels every N steps (reference mixins.py:55-171,
         # freq from train_stage images_log_freq; 0 disables)
         self.images_log_freq = int(config.get("images_log_freq", 0))
@@ -207,6 +216,31 @@ class Trainer:
             dataformats="HWC",
         )
 
+    # -- validation --------------------------------------------------------
+    def _validate(self, state, flame, max_steps: Optional[int] = None) -> Dict[str, float]:
+        """Run the jitted eval step over the val loader (optionally only the
+        first ``max_steps`` batches) and return ``valid/*`` metric means."""
+        from ..parallel.prefetch import device_prefetch
+
+        vacc = MetricAccumulator()
+        for i, batch in enumerate(device_prefetch(self.val_loader, self.mesh)):
+            if max_steps is not None and i >= max_steps:
+                break
+            vacc.add(self.eval_step(state, flame, batch))
+        return {f"valid/{k}": v for k, v in vacc.means().items()}
+
+    def _resolve_val_interval(self, steps_per_epoch: Optional[int]) -> Optional[int]:
+        """val_check_interval in train steps: ints pass through; float
+        fractions need a known epoch length (None until epoch 1)."""
+        v = self.val_check_interval
+        if v is None or self.val_loader is None:
+            return None
+        if isinstance(v, float) and v <= 1.0:
+            if steps_per_epoch is None:
+                return None
+            return max(1, int(steps_per_epoch * v))
+        return max(1, int(v))
+
     # -- fit ---------------------------------------------------------------
     def fit(self, state: Optional[TrainState] = None, resume: bool = False) -> TrainState:
         if state is None:
@@ -247,8 +281,15 @@ class Trainer:
             except ValueError:  # non-main thread
                 pass
 
+        # fail fast: K val batches through the eval step before any training
+        # (PL num_sanity_val_steps; a broken val loader/metric key aborts here)
+        if self.val_loader is not None and self.sanity_val_steps > 0:
+            self._validate(state, flame, max_steps=self.sanity_val_steps)
+            logger.info("sanity validation (%d steps) passed", self.sanity_val_steps)
+
         start_epoch = int(state.epoch)
         host_step = int(state.step)  # host mirror: no per-step device fetch
+        steps_per_epoch: Optional[int] = None
         # best-so-far monitored value, tracked locally: reading ckpt.best
         # every epoch would flush (join) the async checkpoint writer
         best_seen = self.ckpt.best_value()
@@ -263,6 +304,7 @@ class Trainer:
                 # epoch-granular schedule factor (the reference steps its LR
                 # schedulers once per epoch; per-step warmup is separate)
                 sched_factor = float(self.schedule(epoch)) if self.schedule else 1.0
+                val_interval = self._resolve_val_interval(steps_per_epoch)
                 for batch in device_prefetch(self.train_loader, self.mesh):
                     host_step += 1
                     state, logs = self.train_step(
@@ -276,6 +318,17 @@ class Trainer:
                     n_batches += 1
                     if self.images_log_freq and host_step % self.images_log_freq == 0:
                         self.log_image_panels(state, batch, host_step)
+                    if val_interval and host_step % val_interval == 0:
+                        mid_val = self._validate(state, flame)
+                        self.log_metrics(mid_val, host_step)
+                        mv = mid_val.get(self.ckpt.monitor, float("nan"))
+                        # mid-epoch improvements become held device snapshots;
+                        # plateau/early-stop state machines stay epoch-granular
+                        if np.isfinite(mv) and (
+                            best_seen is None or self.ckpt.is_better(mv, best_seen)
+                        ):
+                            best_seen = mv
+                            self.ckpt.hold(state, epoch, {self.ckpt.monitor: mv, **mid_val})
                     if preempted["flag"]:
                         break
                 if preempted["flag"]:
@@ -285,15 +338,11 @@ class Trainer:
                     logger.info("preemption checkpoint saved at step %d", host_step)
                     break
                 train_metrics = {f"train/{k}": v for k, v in acc.means().items()}
+                steps_per_epoch = n_batches
 
                 val_metrics: Dict[str, float] = {}
                 if self.val_loader is not None:
-                    vacc = MetricAccumulator()
-                    from ..parallel.prefetch import device_prefetch
-
-                    for batch in device_prefetch(self.val_loader, self.mesh):
-                        vacc.add(self.eval_step(state, flame, batch))
-                    val_metrics = {f"valid/{k}": v for k, v in vacc.means().items()}
+                    val_metrics = self._validate(state, flame)
 
                 # the LR actually applied this epoch: base * plateau-mult *
                 # epoch-schedule factor * linear warmup at the current step

@@ -284,3 +284,111 @@ def test_checkpoint_hold_and_flush(tmp_path):
     # the best entry restores to epoch 3's weights
     restored = mgr.restore({"params": {"w": np.zeros(2, np.float32)}, "batch_stats": {}})
     np.testing.assert_array_equal(np.asarray(restored["params"]["w"]), 3.0)
+
+
+def _tiny_trainer_parts():
+    from dad3dheads_tpu.cli.train import SyntheticLoader
+    from dad3dheads_tpu.core.flame import FlameModel
+    from dad3dheads_tpu.core.landmarks import LandmarkEmbedding
+    from dad3dheads_tpu.models import create_model
+
+    flame = FlameModel.load()
+    emb = LandmarkEmbedding.load()
+    model = create_model({"backbone": "resnet50"})
+    return flame, emb, model
+
+
+def test_sanity_val_fails_fast(tmp_path):
+    """A broken val pipeline aborts fit BEFORE any train step (the PL
+    num_sanity_val_steps behavior, reference train/utils.py:70-77)."""
+    from dad3dheads_tpu.cli.train import SyntheticLoader
+    from dad3dheads_tpu.train.loop import Trainer
+
+    flame, emb, model = _tiny_trainer_parts()
+
+    class BrokenValLoader:
+        def __iter__(self):
+            raise ValueError("val pipeline is broken")
+
+    class CountingLoader:
+        def __init__(self, inner):
+            self.inner, self.count = inner, 0
+
+        def __iter__(self):
+            self.count += 1
+            return iter(self.inner)
+
+    train = CountingLoader(SyntheticLoader(flame, emb, batch_size=8, img_size=64, steps=1))
+    config = {
+        "img_size": 64,
+        "max_epochs": 1,
+        "optimizer": {"name": "adam", "lr": 1e-4},
+        "experiment_dir": str(tmp_path / "exp"),
+    }
+    trainer = Trainer(model, config, train, BrokenValLoader(), flame=flame)
+    with pytest.raises(ValueError, match="val pipeline is broken"):
+        trainer.fit()
+    assert train.count == 0  # no training happened
+
+    # sanity_val_steps=0 disables the pre-flight check: the same broken
+    # loader now fails only at the epoch-end validation
+    trainer2 = Trainer(
+        model, {**config, "sanity_val_steps": 0}, train, BrokenValLoader(), flame=flame
+    )
+    with pytest.raises(ValueError, match="val pipeline is broken"):
+        trainer2.fit()
+    assert train.count == 1
+
+
+def test_val_check_interval_mid_epoch(tmp_path):
+    """val_check_interval=1 runs a full validation after every train step,
+    logging valid/* at the step and holding improving snapshots."""
+    from dad3dheads_tpu.cli.train import SyntheticLoader
+    from dad3dheads_tpu.train.loop import Trainer
+
+    flame, emb, model = _tiny_trainer_parts()
+    config = {
+        "img_size": 64,
+        "max_epochs": 1,
+        "optimizer": {"name": "adam", "lr": 1e-4},
+        "experiment_dir": str(tmp_path / "exp"),
+        "val_check_interval": 1,
+        "sanity_val_steps": 1,
+        "eval_best": False,
+    }
+    train = SyntheticLoader(flame, emb, batch_size=8, img_size=64, steps=2)
+    val = SyntheticLoader(flame, emb, batch_size=8, img_size=64, steps=1, seed=9)
+    trainer = Trainer(model, config, train, val, flame=flame)
+    trainer.fit()
+
+    with open(tmp_path / "exp" / "metrics.jsonl") as f:
+        rows = [json.loads(l) for l in f]
+    val_rows = [r for r in rows if "valid/loss" in r]
+    # steps 1 and 2 mid-epoch + the end-of-epoch validation
+    assert len(val_rows) == 3
+    assert {r["step"] for r in val_rows[:2]} == {1, 2}
+
+
+def test_resolve_val_interval_fraction(tmp_path):
+    """Float intervals resolve against the measured epoch length; epoch 0
+    (unknown length) falls back to end-of-epoch validation only."""
+    from dad3dheads_tpu.cli.train import SyntheticLoader
+    from dad3dheads_tpu.train.loop import Trainer
+
+    flame, emb, model = _tiny_trainer_parts()
+    config = {
+        "img_size": 64,
+        "max_epochs": 1,
+        "optimizer": {"name": "adam", "lr": 1e-4},
+        "experiment_dir": str(tmp_path / "exp"),
+        "val_check_interval": 0.25,
+    }
+    val = SyntheticLoader(flame, emb, batch_size=8, img_size=64, steps=1, seed=9)
+    trainer = Trainer(model, config, None, val, flame=flame)
+    assert trainer._resolve_val_interval(None) is None
+    assert trainer._resolve_val_interval(100) == 25
+    assert trainer._resolve_val_interval(2) == 1
+    trainer.val_check_interval = 200
+    assert trainer._resolve_val_interval(None) == 200
+    trainer.val_loader = None
+    assert trainer._resolve_val_interval(100) is None
