@@ -139,10 +139,15 @@ class FaceMeshPredictor:
         checkpoint_path: Optional[str] = None,
         flame_path: Optional[str] = None,
         mesh=None,
+        require_weights: bool = False,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis —
         ``predict_batch`` then shards the batch over it (weights replicated),
-        scaling serving throughput across chips with no other changes."""
+        scaling serving throughput across chips with no other changes.
+
+        ``require_weights``: raise instead of warning when no checkpoint can
+        be found or downloaded (the reference downloads its model or fails,
+        predictor.py:29-65; the CLIs set this unless --allow-random-weights)."""
         self.config = {**DEFAULT_CONFIG, **(config or {})}
         self._img_size = int(self.config["img_size"])
         self._stride = int(self.config.get("stride", 4))
@@ -151,7 +156,7 @@ class FaceMeshPredictor:
         self.flame = FlameModel.load(flame_path)
 
         self.model = create_model(self.config["model"])
-        self.variables = self._init_or_load(checkpoint_path)
+        self.variables = self._init_or_load(checkpoint_path, require_weights)
         self.mesh = mesh
         if mesh is not None:
             from ..parallel.mesh import replicate
@@ -178,12 +183,17 @@ class FaceMeshPredictor:
             )
 
     # -- weights -----------------------------------------------------------
-    def _init_or_load(self, checkpoint_path: Optional[str]):
+    def _init_or_load(self, checkpoint_path: Optional[str], require_weights: bool = False):
         x = jnp.zeros((1, self._img_size, self._img_size, 3), jnp.float32)
         variables = jax.jit(lambda r: self.model.init(r, x, train=False))(
             jax.random.PRNGKey(0)
         )
         path = checkpoint_path or os.path.join(_CKPT_DIR, _CKPT_FILE)
+        if not os.path.isfile(path) and self.config.get("model_url"):
+            # reference behavior: fetch the published artifact into the cache
+            # dir when it is not present locally (predictor.py:29-65)
+            path = download_model(self.config["model_url"])
+        self.loaded_checkpoint: Optional[str] = None
         if os.path.isfile(path):
             from flax import serialization
 
@@ -194,6 +204,16 @@ class FaceMeshPredictor:
             # (measured 3-6 s/call through the TPU tunnel)
             variables = jax.tree_util.tree_map(jnp.asarray, variables)
             logger.info("loaded predictor checkpoint from %s", path)
+            self.loaded_checkpoint = path
+        elif require_weights:
+            raise FileNotFoundError(
+                f"no predictor checkpoint at {path} and no model_url configured. "
+                "Train one (python -m dad3dheads_tpu.cli.train), port the "
+                "reference weights (tools/port_torch_weights.py --torch "
+                "model.trcd --out dad_3dnet.msgpack), set model_url in the "
+                "predictor config for auto-download, or pass "
+                "--allow-random-weights to run with random weights."
+            )
         else:
             logger.warning(
                 "no checkpoint at %s — using randomly initialized weights", path

@@ -55,6 +55,7 @@ def demo(
     outputs_folder: str = "outputs",
     type_of_output: str = "68_landmarks",
     checkpoint_path: str = None,
+    allow_random_weights: bool = False,
 ) -> str:
     if type_of_output not in demo_funcs:
         raise KeyError(
@@ -65,7 +66,9 @@ def demo(
     from ..data.dataset import read_as_rgb
 
     image = read_as_rgb(input_image_path)
-    predictor = FaceMeshPredictor.dad_3dnet(checkpoint_path=checkpoint_path)
+    predictor = FaceMeshPredictor.dad_3dnet(
+        checkpoint_path=checkpoint_path, require_weights=not allow_random_weights
+    )
     predictions = predictor(image)
 
     funcs = demo_funcs[type_of_output]
@@ -87,12 +90,18 @@ def main() -> None:
         "--type", default="68_landmarks", choices=sorted(demo_funcs), help="output type"
     )
     ap.add_argument("--checkpoint", default=None, help="model checkpoint (msgpack)")
+    ap.add_argument(
+        "--allow-random-weights",
+        action="store_true",
+        help="run with randomly initialized weights when no checkpoint is "
+        "found (outputs will be garbage; for smoke testing only)",
+    )
     args = ap.parse_args()
 
     from ..utils import enable_compilation_cache
 
     enable_compilation_cache()
-    path = demo(args.input, args.out, args.type, args.checkpoint)
+    path = demo(args.input, args.out, args.type, args.checkpoint, args.allow_random_weights)
     print(path)
 
 

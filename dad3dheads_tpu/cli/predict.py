@@ -59,6 +59,12 @@ def main(argv=None) -> str:
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--workers", type=int, default=8, help="host decode threads")
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument(
+        "--allow-random-weights",
+        action="store_true",
+        help="run with randomly initialized weights when no checkpoint is "
+        "found (outputs will be garbage; for smoke testing only)",
+    )
     ap.add_argument("--quant-amax", default=None, help="int8 amax npz (tools/calibrate_int8.py)")
     ap.add_argument("--resize-mode", default="longest_max_size",
                     choices=("longest_max_size", "resize"))
@@ -89,7 +95,11 @@ def main(argv=None) -> str:
     }
     if args.quant_amax:
         config["quant_amax"] = args.quant_amax
-    predictor = FaceMeshPredictor(config, checkpoint_path=args.checkpoint)
+    predictor = FaceMeshPredictor(
+        config,
+        checkpoint_path=args.checkpoint,
+        require_weights=not args.allow_random_weights,
+    )
 
     # stream in chunks: decoded images + results for at most --chunk images
     # live on the host at once, and outputs flush per chunk

@@ -95,7 +95,9 @@ def test_demo_cli_outputs(predictor, rng, tmp_path, monkeypatch):
     import dad3dheads_tpu.cli.demo as demo_mod
 
     monkeypatch.setattr(
-        demo_mod.FaceMeshPredictor, "dad_3dnet", classmethod(lambda cls, checkpoint_path=None: predictor)
+        demo_mod.FaceMeshPredictor,
+        "dad_3dnet",
+        classmethod(lambda cls, checkpoint_path=None, **kw: predictor),
     )
 
     for output_type in ("68_landmarks", "head_mesh", "pose", "3d_mesh", "flame_params", "pncc"):

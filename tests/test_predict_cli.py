@@ -67,7 +67,7 @@ def test_predict_cli_jsonl_and_obj(tmp_path, rng, monkeypatch):
     path = main(
         [
             "--input", str(img_dir), "--output", str(out), "--batch", "2",
-            "--img-size", "64", "--dtype", "fp32",
+            "--img-size", "64", "--dtype", "fp32", "--allow-random-weights",
         ]
     )
     with open(path) as f:
@@ -80,6 +80,7 @@ def test_predict_cli_jsonl_and_obj(tmp_path, rng, monkeypatch):
         [
             "--input", str(img_dir), "--output", str(out2), "--format", "obj",
             "--batch", "2", "--img-size", "64", "--dtype", "fp32",
+            "--allow-random-weights",
         ]
     )
     objs = sorted(os.listdir(out2))
@@ -107,3 +108,32 @@ def test_predict_images_accepts_float_inputs(small_predictor, rng):
     b = small_predictor.predict_images([img_u8.astype(np.float32)], batch_size=1)[0]
     np.testing.assert_array_equal(a["points"], b["points"])
     np.testing.assert_allclose(a["3dmm_params"], b["3dmm_params"], atol=1e-6)
+
+
+def test_missing_checkpoint_fails_loudly(tmp_path, rng):
+    """Without a checkpoint the CLIs must error with a download/port hint
+    (reference downloads or fails, predictor.py:29-65); random weights only
+    behind the explicit flag — which must note the loaded state."""
+    import cv2
+
+    from dad3dheads_tpu.api.predictor import FaceMeshPredictor
+    from dad3dheads_tpu.cli.predict import main
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    img = (rng.uniform(size=(64, 64, 3)) * 255).astype(np.uint8)
+    cv2.imwrite(str(img_dir / "im0.png"), img[..., ::-1])
+
+    with pytest.raises(FileNotFoundError, match="port_torch_weights"):
+        main(
+            [
+                "--input", str(img_dir), "--output", str(tmp_path / "o"),
+                "--img-size", "64", "--dtype", "fp32",
+                "--checkpoint", str(tmp_path / "nonexistent.msgpack"),
+            ]
+        )
+
+    # the programmatic API stays permissive by default but records that no
+    # checkpoint was loaded
+    p = FaceMeshPredictor({"img_size": 64, "model": {"backbone": "mobilenet_w1", "dtype": "fp32"}})
+    assert p.loaded_checkpoint is None
