@@ -167,6 +167,14 @@ class FaceMeshPredictor:
         # from tools/calibrate_int8.py switches the device pipeline to the
         # quantized forward (measured 1.3x on chip; no reference counterpart)
         self.quant_amax = self.config.get("quant_amax")
+        if self.quant_amax is not None and self.model.backbone != "resnet50":
+            # surface the coverage limit at config-load time, not deep in the
+            # forward (the int8 mirror covers the flagship encoder only)
+            raise ValueError(
+                f"int8 inference (quant_amax) supports the resnet50 flagship "
+                f"only; got backbone={self.model.backbone!r}. Drop quant_amax "
+                "or switch the model config to resnet50."
+            )
         if isinstance(self.quant_amax, str):
             from ..models.quantized import load_amax
 

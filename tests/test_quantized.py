@@ -124,6 +124,21 @@ def test_prepared_qparams_match_inline(fp_model):
         assert np.max(np.abs(r - b)) < 0.25 * max(np.max(np.abs(r)), 1e-3), k
 
 
+def test_int8_rejects_non_flagship_backbone(tmp_path):
+    """quant_amax + a non-resnet50 backbone must fail at config-load time
+    with a clear message, not deep inside the quantized forward."""
+    from dad3dheads_tpu.api.predictor import FaceMeshPredictor
+
+    with pytest.raises(ValueError, match="resnet50"):
+        FaceMeshPredictor(
+            {
+                "img_size": 64,
+                "model": {"backbone": "mobilenet_w1", "dtype": "fp32"},
+                "quant_amax": str(tmp_path / "whatever.npz"),
+            }
+        )
+
+
 def test_save_amax_suffixless_path(fp_model, tmp_path):
     """save_amax must return a path that exists even without a .npz suffix."""
     import os
@@ -135,6 +150,61 @@ def test_save_amax_suffixless_path(fp_model, tmp_path):
     p = save_amax(amax, str(tmp_path / "amax"))
     assert os.path.isfile(p)
     assert set(load_amax(p)) == set(amax)
+
+
+def test_int8_accuracy_fixture(fp_model):
+    """Pin int8 accuracy with concrete checked-in numbers (replaces the
+    25%-of-amplitude smoke bound as the regression guard).
+
+    tests/fixtures/int8_accuracy.npz (tools/make_int8_fixture.py) records the
+    input batch, the calibrated amax table, the fp and int8 decoded outputs
+    (landmarks px + 3DMM), and accuracy bounds observed at generation time.
+    Any change to calibration, quantize/dequantize scales, rounding, or the
+    folded conv math shows up as a mismatch here."""
+    import os
+
+    from dad3dheads_tpu.api.predictor import decode_pipeline_outputs
+    from dad3dheads_tpu.models.quantized import calibrate, quantized_forward
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "int8_accuracy.npz")
+    fx = np.load(path, allow_pickle=False)
+    model, v, _ = fp_model
+    images = jnp.asarray(fx["images"])
+    B = images.shape[0]
+
+    # calibration reproduces the recorded amax table exactly (same sites,
+    # same values)
+    amax = calibrate(model, v, [images], dtype=jnp.float32)
+    assert sorted(amax) == list(fx["amax_names"])
+    np.testing.assert_allclose(
+        np.asarray([float(amax[n]) for n in sorted(amax)]),
+        fx["amax_values"],
+        rtol=1e-5,
+        err_msg="calibrated amax drifted from the recorded table",
+    )
+
+    fp_out = jax.jit(lambda v, x: model.apply(v, x, train=False))(v, images)
+    fp = decode_pipeline_outputs(fp_out, stride=4, img_size=images.shape[1])
+    q_out, _ = jax.jit(
+        lambda v, x, a: quantized_forward(model, v, x, amax=a, mode="int8", dtype=jnp.float32)
+    )(v, images, amax)
+    q = decode_pipeline_outputs(q_out, stride=4, img_size=images.shape[1])
+
+    fp_lms = np.asarray(fp["landmarks"]).reshape(B, 68, 2)
+    q_lms = np.asarray(q["landmarks"]).reshape(B, 68, 2)
+
+    # seeded-init fp reproducibility and a tight pin on the full int8 path
+    np.testing.assert_allclose(fp_lms, fx["fp_landmarks"], atol=5e-3)
+    np.testing.assert_allclose(np.asarray(fp["3dmm"]), fx["fp_3dmm"], atol=1e-4)
+    np.testing.assert_allclose(q_lms, fx["q_landmarks"], atol=5e-2)
+    np.testing.assert_allclose(np.asarray(q["3dmm"]), fx["q_3dmm"], atol=1e-3)
+
+    # the accuracy bounds themselves (recorded with 2x headroom)
+    disp = np.linalg.norm(fp_lms - q_lms, axis=-1)
+    assert disp.max() <= float(fx["max_landmark_disp_px"])
+    assert np.max(np.abs(np.asarray(fp["3dmm"]) - np.asarray(q["3dmm"]))) <= float(
+        fx["max_3dmm_drift"]
+    )
 
 
 def test_int8_composes_with_mesh_sharding(fp_model, tmp_path, rng):

@@ -5,10 +5,12 @@ checked-in numbers instead of a percent-of-amplitude smoke bound: a fixed
 input batch, the calibrated amax table for the seed-0 resnet50 model, and the
 fp decode outputs (landmarks in pixels + 3DMM vector). The companion test
 (tests/test_quantized.py::test_int8_accuracy_fixture) rebuilds the model from
-the same seed, re-runs fp and int8, and asserts
+the same seed, re-runs calibration, fp, and int8, and asserts
+  - the recalibrated amax table matches the recorded one (pins calibration),
   - fp outputs still match the recorded ones (seeded-init reproducibility),
-  - int8 landmark displacement vs fp stays <= the recorded bound (~1 px),
-  - int8 3DMM drift stays <= the recorded bound.
+  - int8 outputs match the recorded ones to tight tolerance (pins every
+    quantize/dequantize scale and rounding choice in the int8 path),
+  - int8 landmark displacement / 3DMM drift vs fp stay <= recorded bounds.
 
 Regenerate (CPU, deterministic) after an intentional model change:
   python tools/make_int8_fixture.py
@@ -68,6 +70,8 @@ def main() -> None:
         amax_values=np.asarray([float(amax[n]) for n in names], np.float32),
         fp_landmarks=fp_lms.astype(np.float32),
         fp_3dmm=np.asarray(fp["3dmm"], np.float32),
+        q_landmarks=q_lms.astype(np.float32),
+        q_3dmm=np.asarray(q["3dmm"], np.float32),
         # regression bounds: generation-time observation with headroom
         max_landmark_disp_px=np.float32(max(2.0 * disp.max(), 1.0)),
         max_3dmm_drift=np.float32(max(2.0 * drift_3dmm.max(), 0.01)),
