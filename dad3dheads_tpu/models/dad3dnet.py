@@ -103,6 +103,7 @@ class DAD3DNet(nn.Module):
     limit_value: float = 3.0
     shape_output_size: int = 403  # shape 300 + expression 100 + jaw 3
     pose_output_size: int = 10  # rotation 6 + translation 3 + scale 1
+    dropout: float = 0.3
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -132,9 +133,15 @@ class DAD3DNet(nn.Module):
         # regression heads always run fp32: bf16 resolution (~0.4% relative)
         # is about one pixel of landmark error at 256^2 — unacceptable for
         # the regression outputs while irrelevant for the conv trunk
-        self.shape_head = ClassificationHead(self.shape_output_size, dtype=jnp.float32)
-        self.pose_head = ClassificationHead(self.pose_output_size, dtype=jnp.float32)
-        self.landmarks_head = ClassificationHead(self.num_classes * 2, dtype=jnp.float32)
+        self.shape_head = ClassificationHead(
+            self.shape_output_size, dropout=self.dropout, dtype=jnp.float32
+        )
+        self.pose_head = ClassificationHead(
+            self.pose_output_size, dropout=self.dropout, dtype=jnp.float32
+        )
+        self.landmarks_head = ClassificationHead(
+            self.num_classes * 2, dropout=self.dropout, dtype=jnp.float32
+        )
 
     def neck(self, feats, train: bool = False):
         """BiFPN + heatmap head + fusion on the encoder taps. Split out so the
@@ -208,5 +215,6 @@ def create_model(config: Optional[Dict[str, Any]] = None) -> DAD3DNet:
         num_filters=config.get("num_filters", 256),
         num_classes=config.get("num_classes", 68),
         limit_value=config.get("limit_value", 3.0),
+        dropout=config.get("dropout", 0.3),
         dtype=dtype,
     )
