@@ -230,19 +230,8 @@ class FaceMeshPredictor:
 
     # -- the jitted device pipeline ---------------------------------------
     @staticmethod
-    @functools.partial(
-        jax.jit, static_argnames=("model_def", "stride", "img_size", "quantized")
-    )
-    def _device_pipeline(
-        model_def, variables, images, stride, img_size, quant_amax=None,
-        quantized=False, qparams=None,
-    ):
-        if images.dtype == jnp.uint8:
-            # uint8 batches normalize in-graph (one jit, partitions trivially
-            # when the batch is sharded over a mesh)
-            from ..ops.preprocess import normalize_batch_jax
-
-            images = normalize_batch_jax(images)
+    def _forward(model_def, variables, images, quantized, quant_amax, qparams):
+        """Traced forward on normalized fp32 images (fp or int8 path)."""
         if quantized:
             from ..models.quantized import quantized_forward
 
@@ -252,13 +241,97 @@ class FaceMeshPredictor:
             )
         else:
             out = model_def.apply(variables, images, train=False)
+        return out
 
-        return decode_pipeline_outputs(out, stride, img_size)
+    @staticmethod
+    @functools.partial(
+        jax.jit,
+        static_argnames=("model_def", "stride", "img_size", "quantized", "packed"),
+    )
+    def _device_pipeline(
+        model_def, variables, images, stride, img_size, quant_amax=None,
+        quantized=False, qparams=None, packed=False,
+    ):
+        if images.dtype == jnp.uint8:
+            # uint8 batches normalize in-graph (one jit, partitions trivially
+            # when the batch is sharded over a mesh)
+            from ..ops.preprocess import normalize_batch_jax
+
+            images = normalize_batch_jax(images)
+        out = FaceMeshPredictor._forward(
+            model_def, variables, images, quantized, quant_amax, qparams
+        )
+        dev = decode_pipeline_outputs(out, stride, img_size)
+        if packed:
+            # one (B, 136+413) buffer => ONE device->host fetch per batch in
+            # the serving drain (each separate fetch pays a full round trip)
+            return jnp.concatenate(
+                [dev["landmarks"], dev["3dmm"].astype(jnp.float32)], axis=1
+            )
+        return dev
+
+    @staticmethod
+    @functools.partial(
+        jax.jit,
+        static_argnames=("model_def", "stride", "img_size", "resize_mode", "quantized"),
+    )
+    def _device_pipeline_frames(
+        model_def, variables, frames, sizes, bboxes, stride, img_size,
+        resize_mode, quant_amax=None, quantized=False, qparams=None,
+    ):
+        """Full frames + bboxes in, decoded outputs + readjustment metadata
+        out — crop/resize/normalize fused on device (ops/preprocess_device),
+        zero host resample work (the north-star serving pipeline)."""
+        from ..ops.preprocess_device import preprocess_frames_device
+
+        images, scales, paddings = preprocess_frames_device(
+            frames, sizes, bboxes, img_size, "imagenet", resize_mode
+        )
+        out = FaceMeshPredictor._forward(
+            model_def, variables, images, quantized, quant_amax, qparams
+        )
+        dev = decode_pipeline_outputs(out, stride, img_size)
+        dev["scales"] = scales
+        dev["paddings"] = paddings
+        return dev
 
     @staticmethod
     @functools.partial(jax.jit, static_argnames=("consts_key", "img_size"))
     def _decode_3dmm(flame, params_3dmm, consts_key, img_size):
         return decode_3dmm_to_mesh(flame, params_3dmm, consts_key, img_size)
+
+    @staticmethod
+    @functools.partial(
+        jax.jit,
+        static_argnames=("model_def", "stride", "img_size", "quantized", "chunk"),
+    )
+    def _device_pipeline_bulk(
+        model_def, variables, images, stride, img_size, quant_amax=None,
+        quantized=False, qparams=None, chunk=32,
+    ):
+        """ONE dispatch for an entire device-resident bulk: ``lax.map`` runs
+        the pipeline over chunk-size batches inside a single jit, returning
+        one packed (N, 136 + 413) buffer. Per-call dispatch latency (which on
+        a tunnel-attached chip costs ~10x the per-batch compute) is paid once
+        for the whole bulk instead of once per batch — the idiomatic shape
+        for serving device-resident inputs."""
+        from ..ops.preprocess import normalize_batch_jax
+
+        nb = images.shape[0] // chunk
+        imgs = images.reshape(nb, chunk, *images.shape[1:])
+
+        def one(x):
+            if x.dtype == jnp.uint8:
+                x = normalize_batch_jax(x)
+            out = FaceMeshPredictor._forward(
+                model_def, variables, x, quantized, quant_amax, qparams
+            )
+            dev = decode_pipeline_outputs(out, stride, img_size)
+            return jnp.concatenate(
+                [dev["landmarks"], dev["3dmm"].astype(jnp.float32)], axis=1
+            )
+
+        return jax.lax.map(one, imgs).reshape(nb * chunk, -1)
 
     # -- public API --------------------------------------------------------
     def __call__(self, image: np.ndarray) -> Dict[str, Any]:
@@ -354,37 +427,62 @@ class FaceMeshPredictor:
         ``with_mesh=False`` skips the FLAME decode and the mesh device->host
         fetch (~6 MB/batch) — the right mode when serving only landmarks +
         3DMM params (cli/predict.py jsonl format); the returned dicts then
-        carry just {"points", "3dmm_params"}."""
+        carry just {"points", "3dmm_params"}.
+
+        ``images`` may also be one device-resident ``jax.Array`` of shape
+        (N, S, S, 3): the whole bulk then runs as ONE jit dispatch
+        (``lax.map`` over batch_size chunks) with one packed d2h fetch and
+        vectorized readjustment — no host->device transfer and no per-batch
+        dispatch latency; the serving-bench path that isolates orchestration
+        overhead."""
         import collections
         import concurrent.futures as cf
 
-        images = list(images)
-        if not images:
-            return []
+        contiguous_device = isinstance(images, jax.Array)
+        if contiguous_device:
+            assert images.ndim == 4 and images.shape[1] == self._img_size, images.shape
+            n_total = images.shape[0]
+            if n_total == 0:
+                return []
+        else:
+            images = list(images)
+            if not images:
+                return []
         # uint8 tensors: 4x fewer host->device bytes; the jitted pipeline
         # normalizes in-graph (it only does so for uint8 batches, so coerce
         # float 0-255 inputs to uint8 here — otherwise raw values would reach
-        # the network unnormalized)
+        # the network unnormalized). Device-resident jax arrays (already
+        # img_size square) pass through untouched — the serving-bench path
+        # that isolates orchestration overhead from host->device transfer.
         def prep(im):
+            if isinstance(im, jax.Array):
+                assert im.shape[:2] == (self._img_size, self._img_size), im.shape
+                return im, 1.0, [0, 0, 0, 0]
             if im.dtype != np.uint8:
                 im = np.clip(np.round(im), 0, 255).astype(np.uint8)
             return preprocess_image_np(
                 im, self._img_size, normalize="none", mode=self._resize_mode
+            )
+        consts_key = tuple(sorted(self.flame_constants.items()))
+        lm_cols = 2 * self.model.num_classes
+        if contiguous_device:
+            return self._predict_bulk_device(
+                images, n_total, batch_size, with_mesh, consts_key, lm_cols
             )
         if num_workers > 1:
             with cf.ThreadPoolExecutor(num_workers) as ex:
                 prepped = list(ex.map(prep, images))
         else:
             prepped = [prep(im) for im in images]
-        consts_key = tuple(sorted(self.flame_constants.items()))
+        n_items = len(prepped)
         results: list = []
         pending: collections.deque = collections.deque()
 
         def drain():
             dev, count, metas = pending.popleft()
-            landmarks_b = np.asarray(dev["landmarks"])  # (batch_size, 136)
-            landmarks_b = landmarks_b.reshape(landmarks_b.shape[0], -1, 2)
-            mm_b = np.asarray(dev["3dmm"])
+            packed = np.asarray(dev)  # ONE d2h fetch: (batch, 136 + 413)
+            landmarks_b = packed[:, :lm_cols].reshape(packed.shape[0], -1, 2)
+            mm_b = packed[:, lm_cols:]
             pts, adj = [], []
             for j in range(count):
                 scale, pads = metas[j]
@@ -421,11 +519,23 @@ class FaceMeshPredictor:
                     }
                 )
 
-        for lo in range(0, len(prepped), batch_size):
+        for lo in range(0, n_items, batch_size):
+            count = min(batch_size, n_items - lo)
             chunk = prepped[lo : lo + batch_size]
-            x = np.stack([t for t, _, _ in chunk])
-            if len(chunk) < batch_size:
-                x = np.concatenate([x, np.repeat(x[-1:], batch_size - len(chunk), 0)])
+            tensors = [t for t, _, _ in chunk]
+            if isinstance(tensors[0], jax.Array):
+                x = jnp.stack(tensors)  # device-side stack, no transfer
+                if count < batch_size:
+                    x = jnp.concatenate(
+                        [x, jnp.repeat(x[-1:], batch_size - count, 0)]
+                    )
+            else:
+                x = np.stack(tensors)
+                if count < batch_size:
+                    x = np.concatenate(
+                        [x, np.repeat(x[-1:], batch_size - count, 0)]
+                    )
+            metas = [(s, p) for _, s, p in chunk]
             dev = self._device_pipeline(
                 self.model,
                 self.variables,
@@ -435,8 +545,205 @@ class FaceMeshPredictor:
                 quant_amax=self.quant_amax,
                 quantized=self.quant_amax is not None,
                 qparams=self.quant_qparams,
+                packed=True,
             )
-            pending.append((dev, len(chunk), [(s, p) for _, s, p in chunk]))
+            # start the device->host copy now; by drain time (two batches
+            # later) the bytes are already local and np.asarray is free
+            try:
+                dev.copy_to_host_async()
+            except AttributeError:
+                pass
+            pending.append((dev, count, metas))
+            if len(pending) >= 2:
+                drain()
+        while pending:
+            drain()
+        return results
+
+    def _predict_bulk_device(
+        self, images, n_items, batch_size, with_mesh, consts_key, lm_cols
+    ) -> list:
+        """Device-resident bulk: per-batch jit dispatches with async d2h of
+        each packed result, so result transfer overlaps the next batch's
+        compute (only the LAST batch's fetch tails the pipeline), then one
+        vectorized readjustment (device inputs are already network-frame, so
+        scale=1 and zero padding for every image)."""
+        if n_items % batch_size:
+            pad_n = batch_size - n_items % batch_size
+            images = jnp.concatenate([images, jnp.repeat(images[-1:], pad_n, 0)])
+        outs = []
+        for lo in range(0, images.shape[0], batch_size):
+            o = self._device_pipeline_bulk(
+                self.model,
+                self.variables,
+                images[lo : lo + batch_size],
+                self._stride,
+                self._img_size,
+                quant_amax=self.quant_amax,
+                quantized=self.quant_amax is not None,
+                qparams=self.quant_qparams,
+                chunk=batch_size,
+            )
+            try:
+                o.copy_to_host_async()
+            except AttributeError:
+                pass
+            outs.append(o)
+        packed = np.concatenate([np.asarray(o) for o in outs])[:n_items]
+        identity = [0, 0, 0, 0]
+        pts = readjust_landmarks_np(
+            packed[:, :lm_cols].reshape(n_items, -1, 2), identity, 1.0
+        )
+        adj = readjust_3dmm_np(
+            packed[:, lm_cols:], identity, 1.0, self._img_size, self.flame_constants
+        )
+        results: list = []
+        if not with_mesh:
+            for j in range(n_items):
+                results.append({"points": pts[j], "3dmm_params": adj[j : j + 1]})
+            return results
+        for lo in range(0, n_items, batch_size):
+            count = min(batch_size, n_items - lo)
+            dpad = batch_size - count
+            adj_dev = adj[lo : lo + batch_size]
+            if dpad:
+                adj_dev = np.concatenate([adj_dev, np.repeat(adj_dev[-1:], dpad, 0)])
+            v3, proj = self._decode_3dmm(
+                self.flame, jnp.asarray(adj_dev), consts_key, self._img_size
+            )
+            v3, proj = np.asarray(v3), np.asarray(proj)
+            for j in range(count):
+                results.append(
+                    {
+                        "points": pts[lo + j],
+                        "projected_vertices": proj[j : j + 1],
+                        "3d_vertices": v3[j],
+                        "3dmm_params": adj[lo + j : lo + j + 1],
+                    }
+                )
+        return results
+
+    def predict_frames(
+        self,
+        frames,
+        bboxes=None,
+        batch_size: int = 32,
+        with_mesh: bool = True,
+        frame_bucket: int = 64,
+    ) -> list:
+        """Bulk prediction from FULL frames (+ optional bboxes), preprocessing
+        ON DEVICE: the host only pastes each uint8 frame into a static padded
+        buffer — crop, aspect-preserving resize, center pad, and ImageNet
+        normalization all run inside the jitted pipeline
+        (ops/preprocess_device.py), closing the north-star "preprocess fuses
+        on device" target. Compare ``predict_images``, which resamples with
+        cv2 on host threads.
+
+        Args:
+          frames: iterable of RGB uint8 (H, W, 3) full frames (sizes may vary;
+            buffers are padded to the chunk max, rounded up to
+            ``frame_bucket`` to bound recompilation).
+          bboxes: optional (N, 4) int [x0, y0, x1, y1] crop windows, clamped
+            to each frame; default = whole frame.
+
+        Returns per-frame dicts in the ``__call__`` contract, with "points"
+        in FULL-FRAME coordinates (crop origin added back); "3dmm_params"
+        stays in the crop frame like the reference's predictor output."""
+        import collections
+
+        frames = list(frames)
+        if not frames:
+            return []
+        n = len(frames)
+        if bboxes is None:
+            bb = [(0, 0, f.shape[1], f.shape[0]) for f in frames]
+        else:
+            bb = []
+            for i, b in enumerate(bboxes):
+                h_, w_ = frames[i].shape[:2]
+                x0 = int(np.clip(b[0], 0, w_ - 1))
+                y0 = int(np.clip(b[1], 0, h_ - 1))
+                bb.append(
+                    (x0, y0, int(np.clip(b[2], x0 + 1, w_)), int(np.clip(b[3], y0 + 1, h_)))
+                )
+        consts_key = tuple(sorted(self.flame_constants.items()))
+        results: list = []
+        pending: collections.deque = collections.deque()
+
+        def drain():
+            dev, count, metas = pending.popleft()
+            lms = np.asarray(dev["landmarks"])
+            lms = lms.reshape(lms.shape[0], -1, 2)
+            mm = np.asarray(dev["3dmm"])
+            scales = np.asarray(dev["scales"])
+            pads = np.asarray(dev["paddings"])
+            pts, adj = [], []
+            for j in range(count):
+                p = pads[j].tolist()
+                s = scales[j]
+                x0, y0 = metas[j][0], metas[j][1]
+                pt = readjust_landmarks_np(lms[j], p, s) + np.asarray([[x0, y0]])
+                pts.append(pt)
+                adj.append(
+                    readjust_3dmm_np(mm[j : j + 1], p, s, self._img_size, self.flame_constants)
+                )
+            adj = np.concatenate(adj, 0)
+            if not with_mesh:
+                for j in range(count):
+                    results.append({"points": pts[j], "3dmm_params": adj[j : j + 1]})
+                return
+            dpad = batch_size - count
+            adj_dev = np.concatenate([adj, np.repeat(adj[-1:], dpad, 0)]) if dpad else adj
+            v3, proj = self._decode_3dmm(
+                self.flame, jnp.asarray(adj_dev), consts_key, self._img_size
+            )
+            v3, proj = np.asarray(v3), np.asarray(proj)
+            for j in range(count):
+                results.append(
+                    {
+                        "points": pts[j],
+                        "projected_vertices": proj[j : j + 1],
+                        "3d_vertices": v3[j],
+                        "3dmm_params": adj[j : j + 1],
+                    }
+                )
+
+        rb = frame_bucket
+        for lo in range(0, n, batch_size):
+            chunk = frames[lo : lo + batch_size]
+            cb = bb[lo : lo + batch_size]
+            count = len(chunk)
+            hmax = max(f.shape[0] for f in chunk)
+            wmax = max(f.shape[1] for f in chunk)
+            hmax = ((hmax + rb - 1) // rb) * rb
+            wmax = ((wmax + rb - 1) // rb) * rb
+            buf = np.zeros((batch_size, hmax, wmax, 3), np.uint8)
+            sizes = np.zeros((batch_size, 2), np.int32)
+            boxes = np.zeros((batch_size, 4), np.int32)
+            for j, f in enumerate(chunk):
+                if f.dtype != np.uint8:
+                    f = np.clip(np.round(f), 0, 255).astype(np.uint8)
+                buf[j, : f.shape[0], : f.shape[1]] = f
+                sizes[j] = (f.shape[0], f.shape[1])
+                boxes[j] = cb[j]
+            for j in range(count, batch_size):  # pad rows reuse the last frame
+                sizes[j] = sizes[count - 1]
+                boxes[j] = boxes[count - 1]
+                buf[j] = buf[count - 1]
+            dev = self._device_pipeline_frames(
+                self.model,
+                self.variables,
+                jnp.asarray(buf),
+                jnp.asarray(sizes),
+                jnp.asarray(boxes),
+                self._stride,
+                self._img_size,
+                self._resize_mode,
+                quant_amax=self.quant_amax,
+                quantized=self.quant_amax is not None,
+                qparams=self.quant_qparams,
+            )
+            pending.append((dev, count, cb))
             if len(pending) >= 2:
                 drain()
         while pending:

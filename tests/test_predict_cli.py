@@ -110,6 +110,83 @@ def test_predict_images_accepts_float_inputs(small_predictor, rng):
     np.testing.assert_allclose(a["3dmm_params"], b["3dmm_params"], atol=1e-6)
 
 
+def test_predict_images_device_resident_inputs(small_predictor, rng):
+    """Device-resident jax arrays flow through predict_images with no host
+    preprocessing (the serving-bench path) and yield identical outputs."""
+    import jax.numpy as jnp
+
+    host = [(rng.uniform(size=(64, 64, 3)) * 255).astype(np.uint8) for _ in range(3)]
+    dev = [jnp.asarray(im) for im in host]
+    b = small_predictor.predict_images(host, batch_size=2, with_mesh=False)
+    a = small_predictor.predict_images(dev, batch_size=2, with_mesh=False)
+    # one contiguous (N, S, S, 3) device batch: the whole bulk is a single
+    # jit dispatch (lax.map over chunks) — a different compiled program, so
+    # allow last-ulp fusion noise
+    c = small_predictor.predict_images(
+        jnp.stack(dev), batch_size=2, with_mesh=False
+    )
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["points"], y["points"])
+        np.testing.assert_allclose(x["3dmm_params"], y["3dmm_params"], atol=1e-6)
+    for x, y in zip(c, b):
+        np.testing.assert_array_equal(x["points"], y["points"])
+        np.testing.assert_allclose(x["3dmm_params"], y["3dmm_params"], atol=1e-5)
+    # with_mesh=True on the bulk-device path decodes FLAME per chunk
+    m = small_predictor.predict_images(jnp.stack(dev), batch_size=2)
+    ref = small_predictor.predict_images(host, batch_size=2)
+    for x, y in zip(m, ref):
+        np.testing.assert_array_equal(x["points"], y["points"])
+        np.testing.assert_allclose(x["3d_vertices"], y["3d_vertices"], atol=1e-4)
+
+
+def test_predict_frames_identity_matches_predict_images(small_predictor, rng):
+    """When the frame is already img_size (no resampling), the on-device
+    preprocess path must reproduce the host-preprocess path exactly — the
+    network input is bit-identical modulo the fused normalize."""
+    imgs = [(rng.uniform(size=(64, 64, 3)) * 255).astype(np.uint8) for _ in range(3)]
+    via_frames = small_predictor.predict_frames(imgs, batch_size=2)
+    via_host = small_predictor.predict_images(imgs, batch_size=2)
+    for a, b in zip(via_frames, via_host):
+        np.testing.assert_allclose(a["points"], b["points"], atol=1)
+        np.testing.assert_allclose(a["3dmm_params"], b["3dmm_params"], atol=1e-4)
+        np.testing.assert_allclose(a["3d_vertices"], b["3d_vertices"], atol=1e-4)
+
+
+def test_predict_frames_bbox_coordinates(small_predictor, rng):
+    """A bbox crop served from the full frame equals serving the host-cropped
+    image, with points shifted back to full-frame coordinates."""
+    frame = (rng.uniform(size=(96, 120, 3)) * 255).astype(np.uint8)
+    bbox = (28, 16, 28 + 64, 16 + 64)  # 64x64 crop -> no resampling at all
+    crop = frame[bbox[1] : bbox[3], bbox[0] : bbox[2]]
+
+    via_frames = small_predictor.predict_frames([frame], bboxes=[bbox], batch_size=1)[0]
+    via_crop = small_predictor.predict_images([crop], batch_size=1)[0]
+    np.testing.assert_allclose(
+        via_frames["points"] - np.asarray([[bbox[0], bbox[1]]]),
+        via_crop["points"],
+        atol=1,
+    )
+    np.testing.assert_allclose(
+        via_frames["3dmm_params"], via_crop["3dmm_params"], atol=1e-4
+    )
+
+
+def test_predict_frames_resampled_close_to_host(small_predictor, rng):
+    """With real resampling the device (float) and host (cv2/uint8) paths
+    round differently; outputs must still agree closely."""
+    frames = [
+        (rng.uniform(size=(90, 70, 3)) * 255).astype(np.uint8),
+        (rng.uniform(size=(40, 55, 3)) * 255).astype(np.uint8),
+    ]
+    via_frames = small_predictor.predict_frames(frames, batch_size=2, with_mesh=False)
+    via_host = small_predictor.predict_images(frames, batch_size=2, with_mesh=False)
+    for a, b in zip(via_frames, via_host):
+        # landmark decode is in original-image pixels; the uint8-rounding
+        # input noise moves an untrained net's outputs by a few px at most
+        assert np.abs(a["points"] - b["points"]).max() <= 6
+        np.testing.assert_allclose(a["3dmm_params"], b["3dmm_params"], atol=0.05)
+
+
 def test_missing_checkpoint_fails_loudly(tmp_path, rng):
     """Without a checkpoint the CLIs must error with a download/port hint
     (reference downloads or fails, predictor.py:29-65); random weights only
