@@ -68,3 +68,39 @@ def pad_batch_to_devices(batch_size: int, mesh: Mesh) -> int:
 def local_data_parallel_mesh() -> Mesh:
     """Single-axis data mesh over every addressable device."""
     return make_mesh(model=1)
+
+
+def head_tp_shardings(tree, mesh: Mesh):
+    """NamedSharding tree for a TrainState/params pytree: the wide head Dense
+    kernels tensor-sharded over the ``model`` axis, everything else
+    replicated (SURVEY.md §2.10 — the head/blendshape matmuls are the natural
+    model-axis work).
+
+    Layout: each ``*_head`` MLP is Dense(2048->512) -> Dense(512->out).
+      - ``Dense_0/kernel`` (in, 512): output dim over MODEL (column-parallel),
+        with the matching bias shard, so the GEMM writes only its local 512/m
+        activations;
+      - ``Dense_1/kernel`` (512, out): contraction dim over MODEL
+        (row-parallel) — XLA inserts the psum that completes the matmul.
+    Optimizer moments (same tree structure) shard identically for free."""
+
+    def spec_for(path, x):
+        keys = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+        in_head = any(k.endswith("_head") for k in keys)
+        if in_head and "Dense_0" in keys:
+            if "kernel" in keys and x.ndim == 2:
+                return P(None, MODEL_AXIS)
+            if "bias" in keys and x.ndim == 1:
+                return P(MODEL_AXIS)
+        if in_head and "Dense_1" in keys and "kernel" in keys and x.ndim == 2:
+            return P(MODEL_AXIS, None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: NamedSharding(mesh, spec_for(p, x)), tree
+    )
+
+
+def shard_like(tree, shardings):
+    """device_put every leaf with its per-leaf sharding."""
+    return jax.tree_util.tree_map(jax.device_put, tree, shardings)

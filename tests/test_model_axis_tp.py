@@ -1,0 +1,77 @@
+"""Tensor parallelism on network weights: the wide head Dense kernels shard
+over the mesh ``model`` axis (parallel/mesh.py head_tp_shardings) and the
+train step must produce the same numbers as the fully replicated layout —
+XLA GSPMD inserts the row-parallel psum; nothing else may change.
+
+Round-2 review item 6: the model axis previously sharded only the FLAME
+constant matrices; this proves TP on actual trainable parameters."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dad3dheads_tpu.core.flame import FlameModel
+from dad3dheads_tpu.core.landmarks import LandmarkEmbedding
+from dad3dheads_tpu.data import synthetic_batch
+from dad3dheads_tpu.models.dad3dnet import DAD3DNet
+from dad3dheads_tpu.parallel.mesh import (
+    MODEL_AXIS,
+    batch_sharding,
+    head_tp_shardings,
+    make_mesh,
+    replicate,
+    shard_like,
+)
+from dad3dheads_tpu.train import build_train_step, get_optimizer, init_train_state
+
+IMG = 64
+
+
+def test_head_tp_matches_replicated(flame_model):
+    mesh = make_mesh(model=2)  # 8 CPU devices -> (data=4, model=2)
+    emb = LandmarkEmbedding.load()
+    batch = jax.jit(
+        lambda r, f, e: synthetic_batch(r, f, e, 8, IMG), out_shardings=batch_sharding(mesh)
+    )(jax.random.PRNGKey(1), flame_model, emb)
+
+    net = DAD3DNet(backbone="mobilenet_w1", dropout=0.0)
+    tx = get_optimizer({"name": "sgd", "lr": 1e-2})
+    state = init_train_state(net, tx, jax.random.PRNGKey(0), (1, IMG, IMG, 3))
+    flame_r = replicate(flame_model, mesh)
+    train_step = build_train_step(net, tx, img_size=IMG, warmup_steps=0)
+
+    def run(state_sharded):
+        new_state, logs = train_step(
+            state_sharded, flame_r, batch, jax.random.PRNGKey(3), jnp.ones((), jnp.float32)
+        )
+        return new_state, {k: float(v) for k, v in logs.items()}
+
+    sh = head_tp_shardings(state, mesh)
+    # the TP layout actually splits the head kernels over the model axis
+    k0 = sh.params["shape_head"]["Dense_0"]["kernel"]
+    k1 = sh.params["shape_head"]["Dense_1"]["kernel"]
+    assert k0.spec == jax.sharding.PartitionSpec(None, MODEL_AXIS)
+    assert k1.spec == jax.sharding.PartitionSpec(MODEL_AXIS, None)
+
+    state_tp = shard_like(state, sh)
+    d0 = state_tp.params["shape_head"]["Dense_0"]["kernel"]
+    assert len(d0.sharding.device_set) == 8
+    assert d0.addressable_shards[0].data.shape == (1024, 256)  # 512 split by 2
+
+    new_tp, logs_tp = run(state_tp)
+    # train_step donates its input state: rebuild the replicated one fresh
+    state_rep = replicate(
+        init_train_state(net, tx, jax.random.PRNGKey(0), (1, IMG, IMG, 3)), mesh
+    )
+    new_rep, logs_rep = run(state_rep)
+
+    for k in logs_rep:
+        np.testing.assert_allclose(logs_tp[k], logs_rep[k], rtol=2e-4, err_msg=k)
+
+    # updated head weights agree across layouts (the psum completed the
+    # row-parallel matmul correctly, and gradients/updates flowed per shard)
+    for head in ("shape_head", "pose_head", "landmarks_head"):
+        for layer in ("Dense_0", "Dense_1"):
+            a = np.asarray(new_tp.params[head][layer]["kernel"])
+            b = np.asarray(new_rep.params[head][layer]["kernel"])
+            np.testing.assert_allclose(a, b, atol=1e-5, err_msg=f"{head}/{layer}")
