@@ -51,7 +51,10 @@ def main() -> None:
     flame = FlameModel.load()
     embedding = LandmarkEmbedding.load()
 
-    mode = os.environ.get("BENCH_MODE", "full")  # full | cnn_only | decode_only
+    mode = os.environ.get("BENCH_MODE", "full")  # full | cnn_only | serving
+    if mode == "serving":
+        _serving_bench()
+        return
 
     def pipeline(variables, flame, embedding, images):
         out = model.apply(variables, images, train=False)
@@ -162,6 +165,49 @@ def main() -> None:
         per_q = max((timed_q(1 + ITERS) - timed_q(1)) / ITERS, 1e-9)
         extra["int8_inference_ips"] = round(BATCH / per_q, 1)
 
+    if os.environ.get("BENCH_PREPROC", "1") != "0" and mode == "full":
+        # north-star fused preprocess: full 512^2 frames + bboxes -> crop +
+        # resize + normalize ON DEVICE (ops/preprocess_device.py) -> CNN ->
+        # FLAME decode; the rate INCLUDING preprocessing from raw frames
+        from dad3dheads_tpu.ops.preprocess_device import preprocess_frames_device
+
+        FRAME = 512
+
+        @jax.jit
+        def run_p(variables, flame, embedding, seed, n_iters):
+            k1, k2 = jax.random.split(seed)
+            frames = jax.random.randint(
+                k1, (BATCH, FRAME, FRAME, 3), 0, 256, jnp.uint8
+            )
+            sizes = jnp.tile(jnp.asarray([[FRAME, FRAME]], jnp.int32), (BATCH, 1))
+            # varied face-crop-sized boxes exercise the dynamic weight build
+            off = jax.random.randint(k2, (BATCH, 2), 0, 128, jnp.int32)
+            boxes = jnp.concatenate([off, off + 320], axis=-1)
+
+            def body(i, carry):
+                frames, acc = carry
+                imgs, _, _ = preprocess_frames_device(frames, sizes, boxes, 256)
+                v, proj, lms = pipeline(variables, flame, embedding, imgs.astype(in_dtype))
+                chk = jnp.mean(lms) + 1e-20 * (jnp.sum(v[:, 0]) + jnp.sum(proj[:, 0]))
+                frames = frames.at[0, 0, 0, 0].add((chk * 1e-30).astype(frames.dtype))
+                return frames, acc + chk
+
+            _, acc = jax.lax.fori_loop(0, n_iters, body, (jnp.asarray(frames), jnp.zeros(())))
+            return acc
+
+        float(run_p(variables, flame, embedding, jax.random.PRNGKey(1), 1))
+
+        def timed_p(n, reps=3):
+            best = float("inf")
+            for i in range(reps):
+                t0 = time.perf_counter()
+                float(run_p(variables, flame, embedding, jax.random.PRNGKey(2 + i), n))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        per_p = max((timed_p(1 + ITERS) - timed_p(1)) / ITERS, 1e-9)
+        extra["preproc_e2e_ips"] = round(BATCH / per_p, 1)
+
     if os.environ.get("BENCH_TRAIN", "1") != "0":
         extra = {**extra, **_train_step_bench()}
 
@@ -173,6 +219,103 @@ def main() -> None:
                 "unit": "images/sec/chip",
                 "vs_baseline": round(ips / NORTH_STAR, 3),
                 **extra,
+            }
+        )
+    )
+
+
+def _serving_bench(n_batches: int = int(os.environ.get("BENCH_SERVING_BATCHES", 32))):
+    """BENCH_MODE=serving: the REAL bulk-serving orchestration —
+    ``FaceMeshPredictor.predict_images`` with host threading, two batches in
+    flight, and per-image readjustment — driven on DEVICE-RESIDENT frames so
+    no host->device image transfer pollutes the measurement, compared against
+    the raw jitted device pipeline rate at the same shapes.
+
+    ``orchestration_efficiency`` is the fraction of the raw device rate the
+    serving loop sustains; on direct-attached TPU the target is >= 0.9 (the
+    tunnel of this dev setup adds per-batch d2h round-trips the ratio
+    faithfully exposes)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dad3dheads_tpu.api.predictor import FaceMeshPredictor
+
+    predictor = FaceMeshPredictor(
+        {"img_size": 256, "model": {"backbone": "resnet50", "dtype": DTYPE}}
+    )
+    n = BATCH * n_batches
+    imgs_dev = jax.random.randint(
+        jax.random.PRNGKey(0), (n, 256, 256, 3), 0, 256, jnp.uint8
+    )
+    jax.block_until_ready(imgs_dev)
+
+    # warm the compiled bulk program (static in N) + the orchestration path
+    # at the exact timed shape
+    predictor.predict_images(imgs_dev, batch_size=BATCH, with_mesh=False)
+
+    t0 = time.perf_counter()
+    out = predictor.predict_images(imgs_dev, batch_size=BATCH, with_mesh=False)
+    dt = time.perf_counter() - t0
+    assert len(out) == n
+    serving_ips = n / dt
+
+    # raw device pipeline at the same shapes (normalize + forward + landmark
+    # decode), traced-iteration methodology
+    @jax.jit
+    def run_raw(variables, seed, n_iters):
+        images = jax.random.randint(seed, (BATCH, 256, 256, 3), 0, 256, jnp.uint8)
+
+        def body(i, carry):
+            imgs, acc = carry
+            dev = FaceMeshPredictor._device_pipeline(
+                predictor.model, variables, imgs, 4, 256
+            )
+            chk = jnp.mean(dev["landmarks"]) + jnp.mean(dev["3dmm"])
+            imgs = imgs.at[0, 0, 0, 0].add((chk * 1e-30).astype(imgs.dtype))
+            return imgs, acc + chk
+
+        _, acc = jax.lax.fori_loop(0, n_iters, body, (images, jnp.zeros(())))
+        return acc
+
+    float(run_raw(predictor.variables, jax.random.PRNGKey(1), 1))
+
+    def timed(k, reps=3):
+        best = float("inf")
+        for i in range(reps):
+            t0 = time.perf_counter()
+            float(run_raw(predictor.variables, jax.random.PRNGKey(2 + i), k))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per_raw = max((timed(1 + ITERS) - timed(1)) / ITERS, 1e-9)
+    raw_ips = BATCH / per_raw
+
+    # measure the per-batch result d2h (BATCH x 549 fp32) on its own: in the
+    # serving loop these fetches overlap the next batch's compute
+    # (copy_to_host_async), so only the LAST batch's fetch tails the
+    # pipeline; the probe quantifies the tunnel cost being hidden. Use
+    # jit-produced buffers (eager arrays keep host copies -> 0s reads) and a
+    # throwaway first fetch to warm the d2h layout program.
+    mk = jax.jit(lambda k: jax.random.normal(k, (BATCH, 549), jnp.float32))
+    np.asarray(mk(jax.random.PRNGKey(7)))
+    d2 = mk(jax.random.PRNGKey(8))
+    jax.block_until_ready(d2)
+    t0 = time.perf_counter()
+    np.asarray(d2)
+    batch_fetch_s = time.perf_counter() - t0
+
+    print(
+        json.dumps(
+            {
+                "metric": "serving_throughput_device_inputs",
+                "value": round(serving_ips, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(serving_ips / NORTH_STAR, 3),
+                "raw_device_ips": round(raw_ips, 1),
+                "orchestration_efficiency": round(serving_ips / raw_ips, 3),
+                "batch_result_fetch_s": round(batch_fetch_s, 4),
+                "batch": BATCH,
             }
         )
     )
