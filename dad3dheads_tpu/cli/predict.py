@@ -12,7 +12,14 @@ and results land as
 
   python -m dad3dheads_tpu.cli.predict --input imgs/ --output out/ \\
       [--format jsonl|obj|json] [--batch 32] [--workers 8] \\
-      [--checkpoint ck.msgpack] [--quant-amax amax.npz] [--resize-mode ...]
+      [--checkpoint ck.msgpack] [--quant-amax amax.npz] [--resize-mode ...] \\
+      [--bboxes boxes.json] [--device-preprocess]
+
+With ``--bboxes`` (a json mapping image filename -> [x0, y0, x1, y1]) or
+``--device-preprocess``, frames route through
+``FaceMeshPredictor.predict_frames``: bbox crop + resize + normalize run
+inside the jitted device pipeline (ops/preprocess_device.py) and "points"
+land in FULL-FRAME coordinates — no host cv2 resampling anywhere.
 """
 
 from __future__ import annotations
@@ -72,6 +79,16 @@ def main(argv=None) -> str:
     ap.add_argument("--dtype", default="bf16")
     ap.add_argument("--chunk", type=int, default=256,
                     help="images decoded/held in host memory at once")
+    ap.add_argument(
+        "--bboxes", default=None,
+        help="json file mapping image filename (basename or path as given) "
+        "-> [x0, y0, x1, y1] face crop; implies --device-preprocess",
+    )
+    ap.add_argument(
+        "--device-preprocess", action="store_true",
+        help="crop/resize/normalize on device (predict_frames) instead of "
+        "host cv2; points are reported in full-frame coordinates",
+    )
     args = ap.parse_args(argv)
 
     from ..utils import enable_compilation_cache
@@ -101,6 +118,19 @@ def main(argv=None) -> str:
         require_weights=not args.allow_random_weights,
     )
 
+    bbox_map = None
+    if args.bboxes:
+        with open(args.bboxes) as f:
+            bbox_map = json.load(f)
+        args.device_preprocess = True
+
+    def lookup_bbox(path, image):
+        if bbox_map is not None:
+            bb = bbox_map.get(path) or bbox_map.get(os.path.basename(path))
+            if bb is not None:
+                return [int(v) for v in bb]
+        return [0, 0, image.shape[1], image.shape[0]]
+
     # stream in chunks: decoded images + results for at most --chunk images
     # live on the host at once, and outputs flush per chunk
     t0 = time.time()
@@ -114,10 +144,18 @@ def main(argv=None) -> str:
         for lo in range(0, len(paths), args.chunk):
             part = paths[lo : lo + args.chunk]
             images = [read_as_rgb(p) for p in part]
-            preds = predictor.predict_images(
-                images, batch_size=args.batch, num_workers=args.workers,
-                with_mesh=args.format != "jsonl",  # jsonl needs no mesh fetch
-            )
+            if args.device_preprocess:
+                preds = predictor.predict_frames(
+                    images,
+                    bboxes=[lookup_bbox(p, im) for p, im in zip(part, images)],
+                    batch_size=args.batch,
+                    with_mesh=args.format != "jsonl",
+                )
+            else:
+                preds = predictor.predict_images(
+                    images, batch_size=args.batch, num_workers=args.workers,
+                    with_mesh=args.format != "jsonl",  # jsonl needs no mesh fetch
+                )
             if args.format == "jsonl":
                 for p, pred in zip(part, preds):
                     sink.write(

@@ -214,3 +214,45 @@ def test_missing_checkpoint_fails_loudly(tmp_path, rng):
     # checkpoint was loaded
     p = FaceMeshPredictor({"img_size": 64, "model": {"backbone": "mobilenet_w1", "dtype": "fp32"}})
     assert p.loaded_checkpoint is None
+
+
+def test_predict_cli_bboxes_device_preprocess(tmp_path, rng):
+    """--bboxes routes through predict_frames (device crop/resize/normalize)
+    and reports points in full-frame coordinates."""
+    import cv2
+
+    from dad3dheads_tpu.cli.predict import main
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    frame = (rng.uniform(size=(96, 120, 3)) * 255).astype(np.uint8)
+    cv2.imwrite(str(img_dir / "im0.png"), frame[..., ::-1])
+    bbox = [28, 16, 92, 80]  # 64x64 -> no resampling at img-size 64
+    with open(tmp_path / "bb.json", "w") as f:
+        json.dump({"im0.png": bbox}, f)
+
+    out = tmp_path / "out"
+    path = main(
+        [
+            "--input", str(img_dir), "--output", str(out), "--batch", "1",
+            "--img-size", "64", "--dtype", "fp32", "--allow-random-weights",
+            "--bboxes", str(tmp_path / "bb.json"),
+        ]
+    )
+    with open(path) as f:
+        (line,) = [json.loads(l) for l in f]
+    pts = np.asarray(line["points"])
+    assert pts.shape == (68, 2) and len(line["3dmm_params"]) == 413
+
+    # same crop through the host-preprocess predictor == full-frame points
+    # minus the bbox origin
+    from dad3dheads_tpu.api.predictor import FaceMeshPredictor
+
+    p = FaceMeshPredictor(
+        {"img_size": 64, "model": {"backbone": "resnet50", "dtype": "fp32"}}
+    )
+    crop = frame[bbox[1] : bbox[3], bbox[0] : bbox[2]]
+    ref = p.predict_images([crop], batch_size=1, with_mesh=False)[0]
+    np.testing.assert_allclose(
+        pts - np.asarray([[bbox[0], bbox[1]]]), ref["points"], atol=1
+    )
