@@ -45,16 +45,17 @@ def main() -> None:
     from dad3dheads_tpu.core.rotation import rot_mat_from_6dof
     from dad3dheads_tpu.models import create_model
 
+    mode = os.environ.get("BENCH_MODE", "full")  # full | cnn_only | serving
+    if mode == "serving":
+        # _serving_bench builds its own predictor — skip the model init below
+        _serving_bench()
+        return
+
     model = create_model({"backbone": "resnet50", "dtype": DTYPE})
     x_init = jnp.zeros((1, 256, 256, 3), jnp.float32)
     variables = jax.jit(lambda r: model.init(r, x_init, train=False))(jax.random.PRNGKey(0))
     flame = FlameModel.load()
     embedding = LandmarkEmbedding.load()
-
-    mode = os.environ.get("BENCH_MODE", "full")  # full | cnn_only | serving
-    if mode == "serving":
-        _serving_bench()
-        return
 
     def pipeline(variables, flame, embedding, images):
         out = model.apply(variables, images, train=False)

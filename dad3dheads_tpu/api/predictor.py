@@ -38,6 +38,14 @@ from ..ops.preprocess import preprocess_image_np, readjust_3dmm_np, readjust_lan
 
 logger = logging.getLogger(__name__)
 
+
+@jax.jit
+def _coerce_u8(x: jax.Array) -> jax.Array:
+    """Device-side equivalent of the host path's float->uint8 coercion
+    (clip/round 0-255), so float device inputs take the same normalize-in-
+    graph route as uint8 ones."""
+    return jnp.clip(jnp.round(x.astype(jnp.float32)), 0, 255).astype(jnp.uint8)
+
 _CKPT_DIR = os.path.join(os.path.expanduser("~"), ".dad3d_tpu_checkpoints")
 _CKPT_FILE = "dad_3dnet.msgpack"
 
@@ -196,6 +204,15 @@ class FaceMeshPredictor:
         variables = jax.jit(lambda r: self.model.init(r, x, train=False))(
             jax.random.PRNGKey(0)
         )
+        if checkpoint_path is not None and not os.path.isfile(checkpoint_path):
+            # an explicitly requested checkpoint must never be silently
+            # replaced by the cache/download fallback (a typo'd path would
+            # serve the published weights instead of the user's model)
+            raise FileNotFoundError(
+                f"checkpoint not found: {checkpoint_path}. Train one "
+                "(python -m dad3dheads_tpu.cli.train) or port the reference "
+                "weights (tools/port_torch_weights.py)."
+            )
         path = checkpoint_path or os.path.join(_CKPT_DIR, _CKPT_FILE)
         if not os.path.isfile(path) and self.config.get("model_url"):
             # reference behavior: fetch the published artifact into the cache
@@ -300,39 +317,6 @@ class FaceMeshPredictor:
     def _decode_3dmm(flame, params_3dmm, consts_key, img_size):
         return decode_3dmm_to_mesh(flame, params_3dmm, consts_key, img_size)
 
-    @staticmethod
-    @functools.partial(
-        jax.jit,
-        static_argnames=("model_def", "stride", "img_size", "quantized", "chunk"),
-    )
-    def _device_pipeline_bulk(
-        model_def, variables, images, stride, img_size, quant_amax=None,
-        quantized=False, qparams=None, chunk=32,
-    ):
-        """ONE dispatch for an entire device-resident bulk: ``lax.map`` runs
-        the pipeline over chunk-size batches inside a single jit, returning
-        one packed (N, 136 + 413) buffer. Per-call dispatch latency (which on
-        a tunnel-attached chip costs ~10x the per-batch compute) is paid once
-        for the whole bulk instead of once per batch — the idiomatic shape
-        for serving device-resident inputs."""
-        from ..ops.preprocess import normalize_batch_jax
-
-        nb = images.shape[0] // chunk
-        imgs = images.reshape(nb, chunk, *images.shape[1:])
-
-        def one(x):
-            if x.dtype == jnp.uint8:
-                x = normalize_batch_jax(x)
-            out = FaceMeshPredictor._forward(
-                model_def, variables, x, quantized, quant_amax, qparams
-            )
-            dev = decode_pipeline_outputs(out, stride, img_size)
-            return jnp.concatenate(
-                [dev["landmarks"], dev["3dmm"].astype(jnp.float32)], axis=1
-            )
-
-        return jax.lax.map(one, imgs).reshape(nb * chunk, -1)
-
     # -- public API --------------------------------------------------------
     def __call__(self, image: np.ndarray) -> Dict[str, Any]:
         """RGB uint8 (H, W, 3) -> prediction dict in original-image coords."""
@@ -430,17 +414,23 @@ class FaceMeshPredictor:
         carry just {"points", "3dmm_params"}.
 
         ``images`` may also be one device-resident ``jax.Array`` of shape
-        (N, S, S, 3): the whole bulk then runs as ONE jit dispatch
-        (``lax.map`` over batch_size chunks) with one packed d2h fetch and
-        vectorized readjustment — no host->device transfer and no per-batch
-        dispatch latency; the serving-bench path that isolates orchestration
-        overhead."""
+        (N, S, S, 3): each batch_size slice runs as one packed jit dispatch
+        whose (B, 136+413) result is fetched asynchronously so the transfer
+        overlaps the next batch's compute, followed by one vectorized
+        readjustment — no host->device transfer and no host preprocessing;
+        the serving-bench path that isolates orchestration overhead (measured
+        93% of the raw device pipeline rate, SERVING_r03.json)."""
         import collections
         import concurrent.futures as cf
 
         contiguous_device = isinstance(images, jax.Array)
         if contiguous_device:
             assert images.ndim == 4 and images.shape[1] == self._img_size, images.shape
+            if images.dtype != jnp.uint8:
+                # the jitted pipeline only normalizes uint8 batches — coerce
+                # float 0-255 device arrays the same way the host path does,
+                # so they never reach the network unnormalized
+                images = _coerce_u8(images)
             n_total = images.shape[0]
             if n_total == 0:
                 return []
@@ -457,6 +447,8 @@ class FaceMeshPredictor:
         def prep(im):
             if isinstance(im, jax.Array):
                 assert im.shape[:2] == (self._img_size, self._img_size), im.shape
+                if im.dtype != jnp.uint8:
+                    im = _coerce_u8(im)
                 return im, 1.0, [0, 0, 0, 0]
             if im.dtype != np.uint8:
                 im = np.clip(np.round(im), 0, 255).astype(np.uint8)
@@ -573,7 +565,7 @@ class FaceMeshPredictor:
             images = jnp.concatenate([images, jnp.repeat(images[-1:], pad_n, 0)])
         outs = []
         for lo in range(0, images.shape[0], batch_size):
-            o = self._device_pipeline_bulk(
+            o = self._device_pipeline(
                 self.model,
                 self.variables,
                 images[lo : lo + batch_size],
@@ -582,7 +574,7 @@ class FaceMeshPredictor:
                 quant_amax=self.quant_amax,
                 quantized=self.quant_amax is not None,
                 qparams=self.quant_qparams,
-                chunk=batch_size,
+                packed=True,
             )
             try:
                 o.copy_to_host_async()

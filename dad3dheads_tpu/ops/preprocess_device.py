@@ -125,8 +125,9 @@ def preprocess_frames_device(
         (h, w) region, the rest is ignored.
       sizes: (B, 2) int32 [h, w] true frame sizes.
       bboxes: (B, 4) int32 [x0, y0, x1, y1] crop windows (pass
-        [0, 0, w, h] to preprocess the whole frame). Must be pre-clamped to
-        the frame (data/bbox.py ensure_bbox_boundaries).
+        [0, 0, w, h] to preprocess the whole frame). Clamped in-graph to the
+        true frame extents from ``sizes`` so a loose box can never average
+        the zero padding outside the frame into the resample.
 
     Returns (images, scales, paddings) matching the host path
     (ops/preprocess.py preprocess_image_np on the cropped frame):
@@ -136,9 +137,12 @@ def preprocess_frames_device(
     """
     B, Hmax, Wmax, C = frames_u8.shape
     bboxes = bboxes.astype(jnp.int32)
-    x0, y0 = bboxes[:, 0], bboxes[:, 1]
-    bw = jnp.maximum(bboxes[:, 2] - x0, 1)
-    bh = jnp.maximum(bboxes[:, 3] - y0, 1)
+    h = sizes[:, 0].astype(jnp.int32)
+    w = sizes[:, 1].astype(jnp.int32)
+    x0 = jnp.clip(bboxes[:, 0], 0, w - 1)
+    y0 = jnp.clip(bboxes[:, 1], 0, h - 1)
+    bw = jnp.clip(bboxes[:, 2], x0 + 1, w) - x0
+    bh = jnp.clip(bboxes[:, 3], y0 + 1, h) - y0
 
     if mode == "longest_max_size":
         long_side = jnp.maximum(bh, bw)

@@ -99,8 +99,3 @@ def head_tp_shardings(tree, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(
         lambda p, x: NamedSharding(mesh, spec_for(p, x)), tree
     )
-
-
-def shard_like(tree, shardings):
-    """device_put every leaf with its per-leaf sharding."""
-    return jax.tree_util.tree_map(jax.device_put, tree, shardings)

@@ -148,6 +148,14 @@ class Trainer:
         # (resolved once the first epoch establishes the epoch length).
         self.sanity_val_steps = int(config.get("sanity_val_steps", 2))
         self.val_check_interval = config.get("val_check_interval")
+        if isinstance(self.val_check_interval, float) and not (
+            0.0 < self.val_check_interval <= 1.0
+        ):
+            raise ValueError(
+                f"val_check_interval={self.val_check_interval}: a float must "
+                "be a fraction of an epoch in (0, 1]; pass an int for a step "
+                "count"
+            )
         # pred-vs-GT image panels every N steps (reference mixins.py:55-171,
         # freq from train_stage images_log_freq; 0 disables)
         self.images_log_freq = int(config.get("images_log_freq", 0))
@@ -235,7 +243,12 @@ class Trainer:
         v = self.val_check_interval
         if v is None or self.val_loader is None:
             return None
-        if isinstance(v, float) and v <= 1.0:
+        if isinstance(v, float):
+            if not 0.0 < v <= 1.0:
+                raise ValueError(
+                    f"val_check_interval={v}: a float must be a fraction of an "
+                    "epoch in (0, 1]; pass an int for a step count"
+                )
             if steps_per_epoch is None:
                 return None
             return max(1, int(steps_per_epoch * v))
@@ -281,12 +294,6 @@ class Trainer:
             except ValueError:  # non-main thread
                 pass
 
-        # fail fast: K val batches through the eval step before any training
-        # (PL num_sanity_val_steps; a broken val loader/metric key aborts here)
-        if self.val_loader is not None and self.sanity_val_steps > 0:
-            self._validate(state, flame, max_steps=self.sanity_val_steps)
-            logger.info("sanity validation (%d steps) passed", self.sanity_val_steps)
-
         start_epoch = int(state.epoch)
         host_step = int(state.step)  # host mirror: no per-step device fetch
         steps_per_epoch: Optional[int] = None
@@ -294,6 +301,16 @@ class Trainer:
         # every epoch would flush (join) the async checkpoint writer
         best_seen = self.ckpt.best_value()
         try:
+            # fail fast: K val batches through the eval step before any
+            # training (PL num_sanity_val_steps; a broken val loader/metric
+            # key aborts here) — inside the try so the signal handlers are
+            # restored even when sanity validation raises
+            if self.val_loader is not None and self.sanity_val_steps > 0:
+                self._validate(state, flame, max_steps=self.sanity_val_steps)
+                logger.info(
+                    "sanity validation (%d steps) passed", self.sanity_val_steps
+                )
+
             for epoch in range(start_epoch, self.max_epochs):
                 state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
                 t0 = time.time()

@@ -20,7 +20,6 @@ from dad3dheads_tpu.parallel.mesh import (
     head_tp_shardings,
     make_mesh,
     replicate,
-    shard_like,
 )
 from dad3dheads_tpu.train import build_train_step, get_optimizer, init_train_state
 
@@ -53,7 +52,7 @@ def test_head_tp_matches_replicated(flame_model):
     assert k0.spec == jax.sharding.PartitionSpec(None, MODEL_AXIS)
     assert k1.spec == jax.sharding.PartitionSpec(MODEL_AXIS, None)
 
-    state_tp = shard_like(state, sh)
+    state_tp = jax.device_put(state, sh)
     d0 = state_tp.params["shape_head"]["Dense_0"]["kernel"]
     assert len(d0.sharding.device_set) == 8
     assert d0.addressable_shards[0].data.shape == (1024, 256)  # 512 split by 2

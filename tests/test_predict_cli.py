@@ -119,9 +119,9 @@ def test_predict_images_device_resident_inputs(small_predictor, rng):
     dev = [jnp.asarray(im) for im in host]
     b = small_predictor.predict_images(host, batch_size=2, with_mesh=False)
     a = small_predictor.predict_images(dev, batch_size=2, with_mesh=False)
-    # one contiguous (N, S, S, 3) device batch: the whole bulk is a single
-    # jit dispatch (lax.map over chunks) — a different compiled program, so
-    # allow last-ulp fusion noise
+    # one contiguous (N, S, S, 3) device batch: per-batch packed dispatches
+    # with vectorized readjustment — a different compiled program, so allow
+    # last-ulp fusion noise
     c = small_predictor.predict_images(
         jnp.stack(dev), batch_size=2, with_mesh=False
     )
@@ -256,3 +256,37 @@ def test_predict_cli_bboxes_device_preprocess(tmp_path, rng):
     np.testing.assert_allclose(
         pts - np.asarray([[bbox[0], bbox[1]]]), ref["points"], atol=1
     )
+
+
+def test_predict_images_float_device_arrays_are_normalized(small_predictor, rng):
+    """Float-dtype DEVICE arrays must take the same normalize-in-graph route
+    as uint8 (previously raw 0-255 floats reached the network unnormalized)."""
+    import jax.numpy as jnp
+
+    img = (rng.uniform(size=(64, 64, 3)) * 255).astype(np.uint8)
+    ref = small_predictor.predict_images([img], batch_size=1, with_mesh=False)[0]
+    # per-image device float
+    a = small_predictor.predict_images(
+        [jnp.asarray(img, jnp.float32)], batch_size=1, with_mesh=False
+    )[0]
+    # contiguous device float bulk
+    b = small_predictor.predict_images(
+        jnp.asarray(img, jnp.float32)[None], batch_size=1, with_mesh=False
+    )[0]
+    np.testing.assert_array_equal(a["points"], ref["points"])
+    np.testing.assert_allclose(a["3dmm_params"], ref["3dmm_params"], atol=1e-5)
+    np.testing.assert_array_equal(b["points"], ref["points"])
+    np.testing.assert_allclose(b["3dmm_params"], ref["3dmm_params"], atol=1e-5)
+
+
+def test_explicit_missing_checkpoint_errors_even_with_model_url(tmp_path):
+    """A typo'd --checkpoint must error, not silently fall back to the
+    cache/model_url download."""
+    from dad3dheads_tpu.api.predictor import FaceMeshPredictor
+
+    with pytest.raises(FileNotFoundError, match="checkpoint not found"):
+        FaceMeshPredictor(
+            {"img_size": 64, "model": {"backbone": "resnet50", "dtype": "fp32"},
+             "model_url": "https://example.invalid/ck.msgpack"},
+            checkpoint_path=str(tmp_path / "typo.msgpack"),
+        )
