@@ -93,3 +93,17 @@ def test_device_preprocess_readjustment_roundtrip(rng):
         net_pts = transform_keypoints_np(pts, s, p)
         back = readjust_landmarks_np(net_pts, p, s)
         np.testing.assert_allclose(back, pts.astype(int), atol=1.0)
+
+
+def test_device_preprocess_clamps_loose_bboxes(rng):
+    """A bbox extending past the frame into the zero-padded buffer region is
+    clamped in-graph — identical output to the pre-clamped box, never black
+    padding averaged into the resample."""
+    frames, sizes, _ = _random_frames(rng, 2, 96, 120)
+    h0, w0 = sizes[0]
+    loose = np.asarray([[-20, -10, w0 + 50, h0 + 30], [0, 0, 10_000, 10_000]], np.int32)
+    clamped = np.asarray([[0, 0, w0, h0], [0, 0, sizes[1][1], sizes[1][0]]], np.int32)
+    a = preprocess_frames_device(frames, sizes, loose, img_size=S)
+    b = preprocess_frames_device(frames, sizes, clamped, img_size=S)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
