@@ -150,8 +150,9 @@ class FaceMeshPredictor:
         require_weights: bool = False,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis —
-        ``predict_batch`` then shards the batch over it (weights replicated),
-        scaling serving throughput across chips with no other changes.
+        ``predict_batch``, ``predict_images``, and ``predict_frames`` then
+        shard every batch over it (weights replicated), scaling serving
+        throughput across chips with no other changes.
 
         ``require_weights``: raise instead of warning when no checkpoint can
         be found or downloaded (the reference downloads its model or fails,
@@ -354,6 +355,15 @@ class FaceMeshPredictor:
             "3dmm_params": pred_3dmm,
         }
 
+    def _put(self, tree):
+        """Shard batch-leading array(s) over the mesh's data axis when this
+        predictor serves multi-chip; identity otherwise."""
+        if self.mesh is None:
+            return tree
+        from ..parallel.mesh import shard_batch
+
+        return shard_batch(tree, self.mesh)
+
     def predict_batch(self, images: np.ndarray) -> Dict[str, Any]:
         """Batched prediction on pre-sized square inputs (B, S, S, 3) uint8 or
         fp32-normalized. Returns network-frame outputs (no per-image
@@ -498,7 +508,8 @@ class FaceMeshPredictor:
             dpad = batch_size - count
             adj_dev = np.concatenate([adj, np.repeat(adj[-1:], dpad, 0)]) if dpad else adj
             v3, proj = self._decode_3dmm(
-                self.flame, jnp.asarray(adj_dev), consts_key, self._img_size
+                self.flame, self._put(jnp.asarray(adj_dev)), consts_key,
+                self._img_size,
             )
             v3, proj = np.asarray(v3), np.asarray(proj)
             for j in range(count):
@@ -528,10 +539,14 @@ class FaceMeshPredictor:
                         [x, np.repeat(x[-1:], batch_size - count, 0)]
                     )
             metas = [(s, p) for _, s, p in chunk]
+            # multi-chip serving: shard the batch over the data axis so every
+            # device runs batch_size/n_data images (weights replicated at
+            # load; batch_size must divide by the axis)
+            x = self._put(jnp.asarray(x))
             dev = self._device_pipeline(
                 self.model,
                 self.variables,
-                jnp.asarray(x),
+                x,
                 self._stride,
                 self._img_size,
                 quant_amax=self.quant_amax,
@@ -568,7 +583,7 @@ class FaceMeshPredictor:
             o = self._device_pipeline(
                 self.model,
                 self.variables,
-                images[lo : lo + batch_size],
+                self._put(images[lo : lo + batch_size]),
                 self._stride,
                 self._img_size,
                 quant_amax=self.quant_amax,
@@ -601,7 +616,8 @@ class FaceMeshPredictor:
             if dpad:
                 adj_dev = np.concatenate([adj_dev, np.repeat(adj_dev[-1:], dpad, 0)])
             v3, proj = self._decode_3dmm(
-                self.flame, jnp.asarray(adj_dev), consts_key, self._img_size
+                self.flame, self._put(jnp.asarray(adj_dev)), consts_key,
+                self._img_size,
             )
             v3, proj = np.asarray(v3), np.asarray(proj)
             for j in range(count):
@@ -687,7 +703,8 @@ class FaceMeshPredictor:
             dpad = batch_size - count
             adj_dev = np.concatenate([adj, np.repeat(adj[-1:], dpad, 0)]) if dpad else adj
             v3, proj = self._decode_3dmm(
-                self.flame, jnp.asarray(adj_dev), consts_key, self._img_size
+                self.flame, self._put(jnp.asarray(adj_dev)), consts_key,
+                self._img_size,
             )
             v3, proj = np.asarray(v3), np.asarray(proj)
             for j in range(count):
@@ -722,12 +739,15 @@ class FaceMeshPredictor:
                 sizes[j] = sizes[count - 1]
                 boxes[j] = boxes[count - 1]
                 buf[j] = buf[count - 1]
+            xb, xs, xbx = self._put(
+                (jnp.asarray(buf), jnp.asarray(sizes), jnp.asarray(boxes))
+            )
             dev = self._device_pipeline_frames(
                 self.model,
                 self.variables,
-                jnp.asarray(buf),
-                jnp.asarray(sizes),
-                jnp.asarray(boxes),
+                xb,
+                xs,
+                xbx,
                 self._stride,
                 self._img_size,
                 self._resize_mode,

@@ -290,3 +290,36 @@ def test_explicit_missing_checkpoint_errors_even_with_model_url(tmp_path):
              "model_url": "https://example.invalid/ck.msgpack"},
             checkpoint_path=str(tmp_path / "typo.msgpack"),
         )
+
+
+def test_bulk_serving_sharded_over_mesh(small_predictor, rng):
+    """predict_images / predict_frames with a data mesh shard every batch
+    over the 8 CPU devices and reproduce the single-device outputs."""
+    import jax
+
+    from dad3dheads_tpu.api.predictor import FaceMeshPredictor
+    from dad3dheads_tpu.parallel.mesh import make_mesh
+
+    sharded = FaceMeshPredictor(
+        {"img_size": 64, "model": {"backbone": "resnet50", "num_classes": 68}},
+        mesh=make_mesh(jax.devices()),
+    )
+    imgs = [(rng.uniform(size=(64, 64, 3)) * 255).astype(np.uint8) for _ in range(8)]
+
+    a = sharded.predict_images(imgs, batch_size=8, with_mesh=False)
+    b = small_predictor.predict_images(imgs, batch_size=8, with_mesh=False)
+    for x, y in zip(a, b):
+        # GSPMD partitioning changes fusion/reduction order -> last-ulp noise
+        assert np.abs(x["points"] - y["points"]).max() <= 1
+        np.testing.assert_allclose(x["3dmm_params"], y["3dmm_params"], atol=1e-3)
+    # the batch really shards: 8 devices x 1 image each
+    x8 = sharded._put(jax.numpy.zeros((8, 64, 64, 3), jax.numpy.uint8))
+    assert x8.addressable_shards[0].data.shape[0] == 1
+
+    frames = [(rng.uniform(size=(80, 90, 3)) * 255).astype(np.uint8) for _ in range(8)]
+    fa = sharded.predict_frames(frames, batch_size=8, with_mesh=True)
+    fb = small_predictor.predict_frames(frames, batch_size=8, with_mesh=True)
+    for x, y in zip(fa, fb):
+        np.testing.assert_allclose(x["points"], y["points"], atol=1)
+        np.testing.assert_allclose(x["3dmm_params"], y["3dmm_params"], atol=1e-4)
+        np.testing.assert_allclose(x["3d_vertices"], y["3d_vertices"], atol=1e-4)
