@@ -326,9 +326,15 @@ def test_sanity_val_fails_fast(tmp_path):
         "experiment_dir": str(tmp_path / "exp"),
     }
     trainer = Trainer(model, config, train, BrokenValLoader(), flame=flame)
+    import signal
+
+    before = (signal.getsignal(signal.SIGTERM), signal.getsignal(signal.SIGINT))
     with pytest.raises(ValueError, match="val pipeline is broken"):
         trainer.fit()
     assert train.count == 0  # no training happened
+    # the fit-local preemption handlers must not leak when sanity val raises
+    after = (signal.getsignal(signal.SIGTERM), signal.getsignal(signal.SIGINT))
+    assert after == before
 
     # sanity_val_steps=0 disables the pre-flight check: the same broken
     # loader now fails only at the epoch-end validation
