@@ -32,7 +32,11 @@ from ..core.flame import FlameModel
 # 3-arg pipeline (weights, qparams, images). v1 artifacts still load (the
 # host reshape accepts either landmark shape); v2 artifacts are rejected by
 # v1 loaders with a clear version error instead of a shape/arity crash.
-_FORMAT_VERSION = 2
+# v3: adds the ``stablehlo_frames`` program — fused device preprocessing
+# (bbox crop + resize + normalize, ops/preprocess_device.py) + forward +
+# decode from raw uint8 frames, with symbolic batch AND frame dimensions.
+# v2 artifacts still load (predict_frames then raises with a re-export hint).
+_FORMAT_VERSION = 3
 
 
 def _strip_folded_leaves(variables):
@@ -69,6 +73,7 @@ def export_predictor(
     constants: Optional[Dict[str, int]] = None,
     platforms: Sequence[str] = ("tpu", "cpu"),
     quant_amax: Optional[Dict[str, Any]] = None,
+    resize_mode: str = "longest_max_size",
 ) -> str:
     """Serialize the full predictor compute into one self-contained archive.
 
@@ -120,6 +125,36 @@ def export_predictor(
         fl = jax.tree_util.tree_unflatten(f_def, flame_leaves)
         return decode_3dmm_to_mesh(fl, params_3dmm, constants, img_size)
 
+    # the north-star serving program: raw uint8 full frames + bboxes in,
+    # decoded outputs + readjustment metadata out — crop/resize/normalize
+    # fused on device; batch AND frame extents are symbolic so one program
+    # serves any padded-buffer shape the host packs
+    from ..ops.preprocess_device import preprocess_frames_device
+
+    def frames_core(weights_v, qp, frames, sizes, boxes):
+        imgs, scales, paddings = preprocess_frames_device(
+            frames, sizes, boxes, img_size, "imagenet", resize_mode
+        )
+        if quantized:
+            out, _ = quantized_forward(
+                model, weights_v, imgs.astype(model.dtype), amax=quant_amax,
+                mode="int8", dtype=model.dtype, qparams=qp,
+            )
+        else:
+            out = model.apply(weights_v, imgs, train=False)
+        res = decode_pipeline_outputs(out, stride, img_size)
+        return res["landmarks"], res["3dmm"], scales, paddings
+
+    if quantized:
+        def frames_fn(weights, qleaves, frames, sizes, boxes):
+            v = jax.tree_util.tree_unflatten(w_def, weights)
+            qp = jax.tree_util.tree_unflatten(q_def, qleaves)
+            return frames_core(v, qp, frames, sizes, boxes)
+    else:
+        def frames_fn(weights, frames, sizes, boxes):
+            v = jax.tree_util.tree_unflatten(w_def, weights)
+            return frames_core(v, None, frames, sizes, boxes)
+
     (b,) = jax_export.symbolic_shape("b")
     img_sds = jax.ShapeDtypeStruct((b, img_size, img_size, 3), jnp.float32)
     mm_sds = jax.ShapeDtypeStruct((b, sum(constants.values())), jnp.float32)
@@ -131,6 +166,20 @@ def export_predictor(
     exp_pipe = jax_export.export(jax.jit(pipeline), platforms=tuple(platforms))(*pipe_args)
     exp_dec = jax_export.export(jax.jit(decode), platforms=tuple(platforms))(
         sds(f_leaves), mm_sds
+    )
+    bf, fh, fw = jax_export.symbolic_shape("bf, fh, fw")
+    frames_args = (
+        jax.ShapeDtypeStruct((bf, fh, fw, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((bf, 2), jnp.int32),
+        jax.ShapeDtypeStruct((bf, 4), jnp.int32),
+    )
+    frames_full_args = (
+        (sds(w_leaves), sds(q_leaves), *frames_args)
+        if quantized
+        else (sds(w_leaves), *frames_args)
+    )
+    exp_frames = jax_export.export(jax.jit(frames_fn), platforms=tuple(platforms))(
+        *frames_full_args
     )
 
     meta = {
@@ -144,10 +193,12 @@ def export_predictor(
         "n_flame_leaves": len(f_leaves),
         "quantized": quantized,
         "n_qparam_leaves": len(q_leaves) if quantized else 0,
+        "resize_mode": resize_mode,
     }
     arrays: Dict[str, np.ndarray] = {
         "stablehlo_pipeline": np.frombuffer(exp_pipe.serialize(), np.uint8),
         "stablehlo_decode": np.frombuffer(exp_dec.serialize(), np.uint8),
+        "stablehlo_frames": np.frombuffer(exp_frames.serialize(), np.uint8),
         "meta": np.frombuffer(json.dumps(meta).encode(), np.uint8),
     }
     for i, x in enumerate(w_leaves):
@@ -174,7 +225,7 @@ class ExportedFaceMeshPredictor:
     host-side pre/postprocessing (resize, normalize, readjustment to the
     original image frame)."""
 
-    def __init__(self, path: str, resize_mode: str = "longest_max_size"):
+    def __init__(self, path: str, resize_mode: Optional[str] = None):
         with np.load(path) as z:
             meta = json.loads(bytes(z["meta"]).decode())
             if meta["format_version"] > _FORMAT_VERSION:
@@ -184,6 +235,11 @@ class ExportedFaceMeshPredictor:
                 )
             self._pipe = jax_export.deserialize(bytes(z["stablehlo_pipeline"]))
             self._dec = jax_export.deserialize(bytes(z["stablehlo_decode"]))
+            self._frames = (
+                jax_export.deserialize(bytes(z["stablehlo_frames"]))
+                if "stablehlo_frames" in z
+                else None
+            )
             self._weights = [
                 jnp.asarray(z[f"w{i:04d}"]) for i in range(meta["n_weight_leaves"])
             ]
@@ -197,13 +253,28 @@ class ExportedFaceMeshPredictor:
         self.meta = meta
         self._img_size = int(meta["img_size"])
         self.flame_constants = dict(meta["constants"])
-        self._resize_mode = resize_mode
+        # default to the mode baked into the artifact's frames program so the
+        # host-preprocess and device-preprocess paths resample identically
+        self._resize_mode = resize_mode or meta.get("resize_mode", "longest_max_size")
         if meta.get("quantized"):
             call3 = jax.jit(lambda w, q, x: self._pipe.call(w, q, x))
             self._pipe_call = lambda w, x: call3(w, self._qparams, x)
         else:
             self._pipe_call = jax.jit(lambda w, x: self._pipe.call(w, x))
         self._dec_call = jax.jit(lambda f, mm: self._dec.call(f, mm))
+        if self._frames is not None:
+            if meta.get("quantized"):
+                fcall = jax.jit(
+                    lambda w, q, fr, sz, bx: self._frames.call(w, q, fr, sz, bx)
+                )
+                self._frames_call = lambda fr, sz, bx: fcall(
+                    self._weights, self._qparams, fr, sz, bx
+                )
+            else:
+                fcall = jax.jit(
+                    lambda w, fr, sz, bx: self._frames.call(w, fr, sz, bx)
+                )
+                self._frames_call = lambda fr, sz, bx: fcall(self._weights, fr, sz, bx)
 
     def __call__(self, image: np.ndarray) -> Dict[str, Any]:
         """RGB uint8 (H, W, 3) -> prediction dict in original-image coords."""
@@ -289,6 +360,82 @@ class ExportedFaceMeshPredictor:
                     "3dmm_params": adj[j : j + 1],
                 }
                 for j in range(len(chunk))
+            )
+        return results
+
+    def predict_frames(
+        self, frames, bboxes=None, batch_size: int = 32, with_mesh: bool = True,
+        frame_bucket: int = 64,
+    ) -> list:
+        """Bulk prediction from FULL frames (+ optional bboxes) with crop /
+        resize / normalize INSIDE the exported program (the v3
+        ``stablehlo_frames`` entry; symbolic batch and frame extents) — the
+        deployment analogue of ``FaceMeshPredictor.predict_frames``. The host
+        only pastes frames into a padded buffer; "points" come back in
+        full-frame coordinates."""
+        if self._frames is None:
+            raise ValueError(
+                f"this artifact (format v{self.meta['format_version']}) predates "
+                "the fused-preprocess frames program; re-export with "
+                "tools/export_model.py to use predict_frames"
+            )
+        from ..ops.preprocess import readjust_3dmm_np, readjust_landmarks_np
+        from ..ops.preprocess_device import pack_frames_host
+
+        frames = list(frames)
+        if not frames:
+            return []
+        if bboxes is None:
+            bb = [(0, 0, f.shape[1], f.shape[0]) for f in frames]
+        else:
+            bb = [tuple(int(v) for v in b) for b in bboxes]
+
+        results = []
+        for lo in range(0, len(frames), batch_size):
+            chunk = frames[lo : lo + batch_size]
+            cb = bb[lo : lo + batch_size]
+            count = len(chunk)
+            buf, sizes, boxes = pack_frames_host(
+                chunk, cb, batch_size, bucket=frame_bucket
+            )
+            lms, mm, scales, pads = self._frames_call(
+                jnp.asarray(buf[:count]),
+                jnp.asarray(sizes[:count]),
+                jnp.asarray(boxes[:count]),
+            )
+            lms = np.asarray(lms).reshape(count, -1, 2)
+            mm, scales, pads = np.asarray(mm), np.asarray(scales), np.asarray(pads)
+            pts, adj = [], []
+            for j in range(count):
+                # bboxes are clamped in-graph; mirror the clamp for the origin
+                h_, w_ = chunk[j].shape[:2]
+                x0 = int(np.clip(cb[j][0], 0, w_ - 1))
+                y0 = int(np.clip(cb[j][1], 0, h_ - 1))
+                p = pads[j].tolist()
+                pt = readjust_landmarks_np(lms[j], p, scales[j]) + np.asarray([[x0, y0]])
+                pts.append(pt)
+                adj.append(
+                    readjust_3dmm_np(
+                        mm[j : j + 1], p, scales[j], self._img_size, self.flame_constants
+                    )
+                )
+            adj = np.concatenate(adj, 0)
+            if not with_mesh:
+                results.extend(
+                    {"points": pts[j], "3dmm_params": adj[j : j + 1]}
+                    for j in range(count)
+                )
+                continue
+            v3, proj = self._dec_call(self._flame, jnp.asarray(adj))
+            v3, proj = np.asarray(v3), np.asarray(proj)
+            results.extend(
+                {
+                    "points": pts[j],
+                    "projected_vertices": proj[j : j + 1],
+                    "3d_vertices": v3[j],
+                    "3dmm_params": adj[j : j + 1],
+                }
+                for j in range(count)
             )
         return results
 

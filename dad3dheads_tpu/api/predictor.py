@@ -717,28 +717,15 @@ class FaceMeshPredictor:
                     }
                 )
 
-        rb = frame_bucket
+        from ..ops.preprocess_device import pack_frames_host
+
         for lo in range(0, n, batch_size):
             chunk = frames[lo : lo + batch_size]
             cb = bb[lo : lo + batch_size]
             count = len(chunk)
-            hmax = max(f.shape[0] for f in chunk)
-            wmax = max(f.shape[1] for f in chunk)
-            hmax = ((hmax + rb - 1) // rb) * rb
-            wmax = ((wmax + rb - 1) // rb) * rb
-            buf = np.zeros((batch_size, hmax, wmax, 3), np.uint8)
-            sizes = np.zeros((batch_size, 2), np.int32)
-            boxes = np.zeros((batch_size, 4), np.int32)
-            for j, f in enumerate(chunk):
-                if f.dtype != np.uint8:
-                    f = np.clip(np.round(f), 0, 255).astype(np.uint8)
-                buf[j, : f.shape[0], : f.shape[1]] = f
-                sizes[j] = (f.shape[0], f.shape[1])
-                boxes[j] = cb[j]
-            for j in range(count, batch_size):  # pad rows reuse the last frame
-                sizes[j] = sizes[count - 1]
-                boxes[j] = boxes[count - 1]
-                buf[j] = buf[count - 1]
+            buf, sizes, boxes = pack_frames_host(
+                chunk, cb, batch_size, bucket=frame_bucket
+            )
             xb, xs, xbx = self._put(
                 (jnp.asarray(buf), jnp.asarray(sizes), jnp.asarray(boxes))
             )

@@ -38,6 +38,36 @@ import jax.numpy as jnp
 from ..constants import IMAGENET_MEAN, IMAGENET_STD
 
 
+def pack_frames_host(frames, bboxes, batch_size: int, bucket: int = 64):
+    """Paste a chunk of variable-size uint8 frames into one padded device
+    buffer — the ONLY host work in the device-preprocess serving path.
+
+    Returns (buf (B, Hmax, Wmax, 3) uint8, sizes (B, 2) int32 [h, w],
+    boxes (B, 4) int32); Hmax/Wmax round up to ``bucket`` to bound
+    recompilation, and pad rows repeat the last frame so every row is a
+    valid image for the fixed compile shape."""
+    import numpy as np
+
+    count = len(frames)
+    assert 0 < count <= batch_size, (count, batch_size)
+    hmax = ((max(f.shape[0] for f in frames) + bucket - 1) // bucket) * bucket
+    wmax = ((max(f.shape[1] for f in frames) + bucket - 1) // bucket) * bucket
+    buf = np.zeros((batch_size, hmax, wmax, 3), np.uint8)
+    sizes = np.zeros((batch_size, 2), np.int32)
+    boxes = np.zeros((batch_size, 4), np.int32)
+    for j, f in enumerate(frames):
+        if f.dtype != np.uint8:
+            f = np.clip(np.round(f), 0, 255).astype(np.uint8)
+        buf[j, : f.shape[0], : f.shape[1]] = f
+        sizes[j] = (f.shape[0], f.shape[1])
+        boxes[j] = bboxes[j]
+    for j in range(count, batch_size):
+        buf[j] = buf[count - 1]
+        sizes[j] = sizes[count - 1]
+        boxes[j] = boxes[count - 1]
+    return buf, sizes, boxes
+
+
 def _round_half_even_ratio(p: jax.Array, q: jax.Array) -> jax.Array:
     """Banker's round of the exact rational p/q (int32) — the in-graph
     equivalent of python3 round(bh * scale)."""

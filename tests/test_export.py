@@ -158,3 +158,47 @@ def test_exported_predict_images_matches_call(exported, rng):
         np.testing.assert_allclose(got["3d_vertices"], ref["3d_vertices"], atol=1e-5)
     slim = loaded.predict_images(images, batch_size=2, with_mesh=False)
     assert all(set(p) == {"points", "3dmm_params"} for p in slim)
+
+
+def test_exported_predict_frames_matches_live(exported, rng):
+    """The v3 stablehlo_frames program (fused device preprocess inside the
+    artifact) reproduces the live predictor's predict_frames, including
+    full-frame point coordinates and symbolic frame extents."""
+    from dad3dheads_tpu.api.export import ExportedFaceMeshPredictor
+
+    predictor, path = exported
+    ep = ExportedFaceMeshPredictor(path)
+    frames = [
+        (rng.uniform(size=(160, 140, 3)) * 255).astype(np.uint8),
+        (rng.uniform(size=(96, 200, 3)) * 255).astype(np.uint8),  # other bucket
+        (rng.uniform(size=(128, 128, 3)) * 255).astype(np.uint8),
+    ]
+    bb = [(10, 12, 120, 150), (0, 0, 200, 96), (4, 4, 124, 124)]
+    a = ep.predict_frames(frames, bboxes=bb, batch_size=4)
+    b = predictor.predict_frames(frames, bboxes=bb, batch_size=4)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x["points"], y["points"], atol=1)
+        np.testing.assert_allclose(x["3dmm_params"], y["3dmm_params"], atol=1e-5)
+        np.testing.assert_allclose(x["3d_vertices"], y["3d_vertices"], atol=1e-4)
+
+
+def test_v2_artifact_without_frames_program_raises(exported, tmp_path):
+    """Artifacts predating v3 load fine but predict_frames points at the
+    re-export path instead of crashing on a missing archive key."""
+    from dad3dheads_tpu.api.export import ExportedFaceMeshPredictor
+
+    _, path = exported
+    with np.load(path) as z:
+        arrays = {k: z[k] for k in z.files if k != "stablehlo_frames"}
+    meta = json.loads(bytes(arrays["meta"]).decode())
+    meta["format_version"] = 2
+    arrays["meta"] = np.frombuffer(json.dumps(meta).encode(), np.uint8)
+    old = tmp_path / "v2.aot.npz"
+    with open(old, "wb") as f:
+        np.savez(f, **arrays)
+
+    ep = ExportedFaceMeshPredictor(str(old))
+    img = np.zeros((128, 128, 3), np.uint8)
+    assert ep(img)["points"].shape == (68, 2)  # v2 surface still works
+    with pytest.raises(ValueError, match="re-export"):
+        ep.predict_frames([img])

@@ -31,6 +31,9 @@ def main() -> None:
     ap.add_argument("--backbone", default="resnet50")
     ap.add_argument("--num-filters", type=int, default=256)
     ap.add_argument("--dtype", default="fp32", choices=["fp32", "bf16"])
+    ap.add_argument("--resize-mode", default="longest_max_size",
+                    choices=["longest_max_size", "resize"],
+                    help="resample mode baked into the v3 frames program")
     ap.add_argument("--flame-path", default=None)
     ap.add_argument(
         "--platforms", nargs="+", default=["tpu", "cpu"],
@@ -78,6 +81,7 @@ def main() -> None:
         stride=args.stride,
         platforms=tuple(args.platforms),
         quant_amax=quant_amax,
+        resize_mode=args.resize_mode,
     )
     size_mb = os.path.getsize(path) / 1e6
     print(f"exported {path} ({size_mb:.1f} MB, platforms={args.platforms})")
