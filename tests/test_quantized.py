@@ -89,6 +89,24 @@ def test_predictor_int8_plumbing(fp_model, tmp_path, rng):
     assert set(out) == {"points", "projected_vertices", "3d_vertices", "3dmm_params"}
     assert np.isfinite(out["3dmm_params"]).all()
 
+    # the device-preprocess serving path composes with int8 too: an
+    # identity-size bbox (64x64 crop, no resample) makes the network input
+    # bit-identical, so the quantized outputs must match the host-crop path
+    bbox = (3, 13, 3 + 64, 13 + 64)
+    crop = image[bbox[1] : bbox[3], bbox[0] : bbox[2]]
+    via_frames = predictor.predict_frames(
+        [image], bboxes=[bbox], batch_size=1, with_mesh=False
+    )[0]
+    via_crop = predictor.predict_images([crop], batch_size=1, with_mesh=False)[0]
+    np.testing.assert_allclose(
+        via_frames["points"] - np.asarray([[bbox[0], bbox[1]]]),
+        via_crop["points"],
+        atol=1,
+    )
+    np.testing.assert_allclose(
+        via_frames["3dmm_params"], via_crop["3dmm_params"], atol=1e-4
+    )
+
 def test_prepared_qparams_match_inline(fp_model):
     """prepare_int8_params must reproduce the inline fold up to 1-ulp
     reassociation: fold+requant compiled standalone vs fused into the forward
