@@ -191,19 +191,49 @@ def synthesize_flame_model(seed: int = 0) -> FlameModelArrays:
     ).validate()
 
 
+class _ChumpyStub:
+    """Unpickle target for chumpy classes without chumpy installed.
+
+    Real FLAME 2020 pickles wrap most arrays in ``chumpy.ch.Ch`` objects, so
+    a plain ``pickle.load`` raises ModuleNotFoundError before any array
+    conversion can run (the reference only loads because its torch
+    environment ships chumpy as an smplx dependency). A ``Ch`` pickles via
+    its instance ``__dict__``, which carries the underlying ndarray in 'x' —
+    this stub absorbs that state and hands the array back."""
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    @property
+    def r(self):  # chumpy's evaluated-array accessor, for symmetry
+        return self.__dict__.get("x")
+
+
+class _ChumpyFreeUnpickler(pickle.Unpickler):
+    def find_class(self, module, name):
+        if module.split(".")[0] == "chumpy":
+            return _ChumpyStub
+        return super().find_class(module, name)
+
+
 def _from_flame_pkl(path: str) -> FlameModelArrays:
     """Load a user-supplied FLAME 2020 pickle (same format the reference
-    expects at model_training/model/static/flame.pkl)."""
+    expects at model_training/model/static/flame.pkl); chumpy-wrapped and
+    plain-numpy pickles both load, without a chumpy dependency."""
     with open(path, "rb") as f:
-        data = pickle.load(f, encoding="latin1")
+        data = _ChumpyFreeUnpickler(f, encoding="latin1").load()
+
+    def raw(x):
+        if isinstance(x, _ChumpyStub):
+            return x.__dict__.get("x", x.__dict__)
+        return x
 
     def arr(x):
-        # FLAME pickles may contain chumpy arrays; np.asarray handles both.
-        return np.asarray(x, dtype=np.float32)
+        return np.asarray(raw(x), dtype=np.float32)
 
     posedirs = arr(data["posedirs"])  # (V, 3, 36)
     posedirs = posedirs.reshape(-1, posedirs.shape[-1]).T  # -> (36, V*3)
-    j_reg = data["J_regressor"]
+    j_reg = raw(data["J_regressor"])  # scipy sparse in the real asset
     if hasattr(j_reg, "todense"):
         j_reg = np.asarray(j_reg.todense())
     return FlameModelArrays(
@@ -212,8 +242,8 @@ def _from_flame_pkl(path: str) -> FlameModelArrays:
         posedirs=posedirs.astype(np.float32),
         j_regressor=np.asarray(j_reg, dtype=np.float32),
         lbs_weights=arr(data["weights"]),
-        parents=np.asarray(data["kintree_table"][0], dtype=np.int64).astype(np.int32),
-        faces=np.asarray(data["f"], dtype=np.int32),
+        parents=np.asarray(raw(data["kintree_table"])[0], dtype=np.int64).astype(np.int32),
+        faces=np.asarray(raw(data["f"]), dtype=np.int32),
         is_synthetic=False,
     )
 

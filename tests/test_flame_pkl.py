@@ -115,3 +115,55 @@ def test_pkl_dense_regressor_and_zero_root(pkl_path, tmp_path):
     assert loaded.parents[0] == -1
     np.testing.assert_allclose(loaded.j_regressor, src.j_regressor, atol=1e-6)
     loaded.validate()
+
+
+def test_pkl_chumpy_wrapped_loads_without_chumpy(tmp_path):
+    """The REAL FLAME 2020 asset wraps its arrays in chumpy.ch.Ch objects, so
+    a plain pickle.load raises ModuleNotFoundError in any environment without
+    chumpy (the reference only loads because smplx drags chumpy in). The
+    chumpy-free unpickler must absorb the Ch state and hand back the arrays.
+
+    Emulated faithfully: a throwaway ``chumpy.ch`` module whose Ch pickles by
+    instance __dict__ with the ndarray in 'x' (chumpy's layout), registered
+    only while DUMPING, then removed — loading hits the missing-module path
+    exactly like a user's real flame.pkl would."""
+    import sys
+    import types
+
+    src = assets.synthesize_flame_model()
+    data = _as_flame2020_pickle(src)
+
+    ch_mod = types.ModuleType("chumpy.ch")
+
+    class Ch:
+        def __init__(self, x):
+            self.x = np.asarray(x)
+            self.dterms = ()  # extra state like the real Ch carries
+
+    Ch.__module__ = "chumpy.ch"
+    Ch.__qualname__ = "Ch"
+    ch_mod.Ch = Ch
+    top = types.ModuleType("chumpy")
+    top.ch = ch_mod
+    sys.modules["chumpy"] = top
+    sys.modules["chumpy.ch"] = ch_mod
+    try:
+        for k in ("v_template", "shapedirs", "posedirs", "weights"):
+            data[k] = Ch(data[k])
+        path = tmp_path / "flame_chumpy.pkl"
+        with open(path, "wb") as f:
+            pickle.dump(data, f, protocol=2)
+    finally:
+        del sys.modules["chumpy"], sys.modules["chumpy.ch"]
+
+    # sanity: without the shim this pickle is unloadable here
+    with pytest.raises(ModuleNotFoundError):
+        with open(path, "rb") as f:
+            pickle.load(f, encoding="latin1")
+
+    loaded = assets.load_flame_model(str(path))
+    np.testing.assert_allclose(loaded.v_template, src.v_template, atol=1e-6)
+    np.testing.assert_allclose(loaded.shapedirs, src.shapedirs, atol=1e-6)
+    np.testing.assert_allclose(loaded.posedirs, src.posedirs, atol=1e-6)
+    np.testing.assert_allclose(loaded.lbs_weights, src.lbs_weights, atol=1e-6)
+    loaded.validate()
