@@ -29,7 +29,7 @@ def sh(*cmd: str) -> None:
     subprocess.run(cmd, check=True)
 
 
-def evaluate_checkpoint(work, img, ckpt_path, gt_path, tag):
+def evaluate_checkpoint(work, img, ckpt_path, gt_path, tag, device_preprocess=False):
     import numpy as np
 
     from dad3dheads_tpu.api.predictor import FaceMeshPredictor
@@ -52,24 +52,48 @@ def evaluate_checkpoint(work, img, ckpt_path, gt_path, tag):
     base = os.path.join(work, "DAD-3DHeadsDataset", "val")
     with open(os.path.join(base, "val.json")) as f:
         items = json.load(f)
-    submission = {}
-    for el in items:
-        image = read_as_rgb(os.path.join(base, el["img_path"]))
-        # predict on the (extended) head bbox crop — the distribution the
-        # network is trained on — then shift 2D outputs back to image coords
-        from dad3dheads_tpu.data.bbox import ensure_bbox_boundaries, extend_bbox
+    from dad3dheads_tpu.data.bbox import ensure_bbox_boundaries, extend_bbox
 
-        x, y, w, h = ensure_bbox_boundaries(
-            extend_bbox(np.asarray(el["bbox"]), 0.1), image.shape[:2]
-        )
-        crop = image[y : y + h, x : x + w] if w > 4 and h > 4 else image
-        preds = predictor(crop)
-        if w > 4 and h > 4:
+    submission = {}
+    if device_preprocess:
+        # serve the val set through the fused device-preprocess path
+        # (predict_frames: crop/resize/normalize in-graph) — the accuracy
+        # numbers must match the host-cv2 path this harness usually runs
+        frames, boxes, origins = [], [], []
+        for el in items:
+            image = read_as_rgb(os.path.join(base, el["img_path"]))
+            x, y, w, h = ensure_bbox_boundaries(
+                extend_bbox(np.asarray(el["bbox"]), 0.1), image.shape[:2]
+            )
+            if not (w > 4 and h > 4):
+                x, y, w, h = 0, 0, image.shape[1], image.shape[0]
+            frames.append(image)
+            boxes.append((x, y, x + w, y + h))
+            origins.append((x, y))
+        preds_list = predictor.predict_frames(frames, bboxes=boxes, batch_size=16)
+        for el, preds, (x, y) in zip(items, preds_list, origins):
+            # predict_frames points are already full-frame; the projected
+            # vertices stay in the crop frame like the host path's
             preds["projected_vertices"] = preds["projected_vertices"] + np.asarray(
                 [x, y], np.float32
             )
-            preds["points"] = preds["points"] + np.asarray([x, y])
-        submission[el["item_id"]] = predictions_to_submission_entry(preds, emb)
+            submission[el["item_id"]] = predictions_to_submission_entry(preds, emb)
+    else:
+        for el in items:
+            image = read_as_rgb(os.path.join(base, el["img_path"]))
+            # predict on the (extended) head bbox crop — the distribution the
+            # network is trained on — then shift 2D outputs back to image coords
+            x, y, w, h = ensure_bbox_boundaries(
+                extend_bbox(np.asarray(el["bbox"]), 0.1), image.shape[:2]
+            )
+            crop = image[y : y + h, x : x + w] if w > 4 and h > 4 else image
+            preds = predictor(crop)
+            if w > 4 and h > 4:
+                preds["projected_vertices"] = preds["projected_vertices"] + np.asarray(
+                    [x, y], np.float32
+                )
+                preds["points"] = preds["points"] + np.asarray([x, y])
+            submission[el["item_id"]] = predictions_to_submission_entry(preds, emb)
     sub_path = os.path.join(work, f"submission_{tag}.json")
     with open(sub_path, "w") as f:
         json.dump(submission, f)
@@ -89,6 +113,11 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--skip-generate", action="store_true")
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument(
+        "--device-preprocess", action="store_true",
+        help="serve the val set via predict_frames (crop/resize/normalize "
+        "fused on device) instead of per-image host cv2",
+    )
     args = ap.parse_args()
 
     from dad3dheads_tpu.utils import enable_compilation_cache
@@ -139,7 +168,7 @@ def main() -> None:
 
     trained = evaluate_checkpoint(
         args.work, args.img, os.path.join(exp_dir, "checkpoints", "dad_3dnet.msgpack"),
-        gt_path, "trained",
+        gt_path, "trained", device_preprocess=args.device_preprocess,
     )
     print(
         json.dumps(
