@@ -57,6 +57,9 @@ def main() -> None:
     flame = FlameModel.load()
     embedding = LandmarkEmbedding.load()
 
+    from dad3dheads_tpu.core.projection import weak_perspective_project
+    from dad3dheads_tpu.core.rotation import rotate_vertices
+
     def pipeline(variables, flame, embedding, images):
         out = model.apply(variables, images, train=False)
         mm = out[OUTPUT_3DMM_PARAMS].astype(jnp.float32)
@@ -64,11 +67,8 @@ def main() -> None:
             return mm, mm, mm
         params = FlameParams.from_3dmm(mm)
         v0 = flame_decode(flame, params, zero_rot=True)
-        R = rot_mat_from_6dof(params.rotation)
-        v = jnp.einsum("bxy,bvy->bvx", R, v0, precision=jax.lax.Precision.HIGHEST)
-        scale = jnp.clip(params.scale[:, None] + 1.0, min=1e-8)
-        t = params.translation.at[..., 2].set(0.0)
-        proj = (v * scale + t[:, None] + 1.0) / 2.0 * 256.0
+        v = rotate_vertices(rot_mat_from_6dof(params.rotation), v0)
+        proj = weak_perspective_project(v, params.scale, params.translation, 256.0)
         lms = get_68_landmarks(v, embedding)
         return v, proj[..., :2], lms
 
@@ -143,8 +143,7 @@ def main() -> None:
                 mm = out[OUTPUT_3DMM_PARAMS].astype(jnp.float32)
                 params = FlameParams.from_3dmm(mm)
                 v0 = flame_decode(flame, params, zero_rot=True)
-                R = rot_mat_from_6dof(params.rotation)
-                v = jnp.einsum("bxy,bvy->bvx", R, v0, precision=jax.lax.Precision.HIGHEST)
+                v = rotate_vertices(rot_mat_from_6dof(params.rotation), v0)
                 lms = get_68_landmarks(v, embedding)
                 chk = jnp.mean(lms) + 1e-20 * jnp.sum(v[:, 0])
                 imgs = imgs.at[0, 0, 0, 0].add((chk * 1e-30).astype(imgs.dtype))

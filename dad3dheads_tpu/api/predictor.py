@@ -130,13 +130,13 @@ def decode_pipeline_outputs(out, stride: int, img_size: int):
 def decode_3dmm_to_mesh(flame, params_3dmm, consts, img_size: int):
     """3DMM params -> (vertices_3d, projected_2d); canonical FLAME decode +
     reprojection shared by the live predictor and the AOT export."""
+    from ..core.projection import weak_perspective_project
+    from ..core.rotation import rotate_vertices
+
     params = FlameParams.from_3dmm(params_3dmm, dict(consts))
     v0 = flame_decode(flame, params, zero_rot=True)
-    R = rot_mat_from_6dof(params.rotation)
-    v = jnp.einsum("bxy,bvy->bvx", R, v0, precision=jax.lax.Precision.HIGHEST)
-    scale = jnp.clip(params.scale[:, None] + 1.0, min=1e-8)
-    t = params.translation.at[..., 2].set(0.0)
-    proj = (v * scale + t[:, None] + 1.0) / 2.0 * img_size
+    v = rotate_vertices(rot_mat_from_6dof(params.rotation), v0)
+    proj = weak_perspective_project(v, params.scale, params.translation, img_size)
     return v, proj[..., :2]
 
 

@@ -185,6 +185,8 @@ def flame_decode(
 
     vertices = vertices.at[:, :, 2].add(jnp.asarray(MESH_OFFSET_Z, dtype))
     if not zero_rot:
+        from .rotation import rotate_vertices
+
         R = rot_mat_from_6dof(params.rotation.astype(dtype))  # (B, 3, 3)
-        vertices = jnp.einsum("bxy,bvy->bvx", R, vertices, precision=jax.lax.Precision.HIGHEST)
+        vertices = rotate_vertices(R, vertices)
     return vertices

@@ -39,13 +39,13 @@ def _reprojected(
     image_size: int,
     to_2d: bool,
 ) -> jax.Array:
+    from .projection import weak_perspective_project
+
     params = FlameParams.from_3dmm(params_3dmm, dict(consts))
     vertices = flame_decode(model, params, zero_rot=False)
-    scale = jnp.clip(params.scale[:, None] + 1.0, min=1e-8)  # (B, 1, 1)
-    vertices = vertices * scale
-    translation = params.translation.at[..., 2].set(0.0)
-    vertices = vertices + translation[:, None]
-    projected = (vertices + 1.0) / 2.0 * image_size
+    projected = weak_perspective_project(
+        vertices, params.scale, params.translation, image_size
+    )
     return projected[..., :2] if to_2d else projected
 
 

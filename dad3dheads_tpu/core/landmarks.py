@@ -66,16 +66,20 @@ def barycentric_points(
 def dynamic_landmark_bin(full_pose: jax.Array) -> jax.Array:
     """Yaw bin (0..78) of the contour table from a (B, 15) axis-angle pose.
 
-    Reproduces the neck-chain relative-rotation binning: the chain is
-    [neck(1), global(0)]; bin = round(-asin(R[0, 2]) in degrees), with
-    negative yaw mapped to bins 40..78 and clamped at the extremes.
+    Reproduces the neck-chain relative-rotation binning (smplx
+    find_dynamic_lmk_idx_and_bcoords + rot_mat_to_euler, the engine behind
+    the reference's 68-landmark extraction): the chain is [neck(1),
+    global(0)]; bin = round(-atan2(-R[2,0], sqrt(R[0,0]^2 + R[1,0]^2)) in
+    degrees) — NOT a plain asin, which only agrees for pure-yaw rotations —
+    with negative yaw mapped to bins 40..78 and clamped at the extremes.
     """
     B = full_pose.shape[0]
     aa = full_pose.reshape(B, -1, 3)
     rot_g = rodrigues(aa[:, 0])
     rot_n = rodrigues(aa[:, 1])
     rel = jnp.einsum("bxy,byz->bxz", rot_g, rot_n)
-    y_deg = -jnp.degrees(jnp.arcsin(jnp.clip(rel[:, 0, 2], -1.0, 1.0)))
+    sy = jnp.sqrt(rel[:, 0, 0] ** 2 + rel[:, 1, 0] ** 2)
+    y_deg = -jnp.degrees(jnp.arctan2(-rel[:, 2, 0], sy))
     y = jnp.round(jnp.clip(y_deg, max=39.0)).astype(jnp.int32)
     neg_vals = jnp.where(y < -39, 78, 39 - y)
     return jnp.where(y < 0, neg_vals, y)
@@ -103,9 +107,10 @@ def get_68_landmarks(
         bins = dynamic_landmark_bin(full_pose)
     dyn_ids = emb.dynamic_vertex_ids[bins]  # (B, 17, 3)
     dyn_bary = emb.dynamic_bary[bins]  # (B, 17, 3)
-    tri = jnp.take_along_axis(
-        vertices[:, None, :, :], dyn_ids[..., None].reshape(vertices.shape[0], -1, 1, 1), axis=2
-    ).reshape(vertices.shape[0], 17, 3, 3)
-    dynamic = jnp.sum(tri * dyn_bary[..., None], axis=-2)
+    # per-sample barycentric evaluation (same weighted-sum semantics as
+    # barycentric_points, with per-sample id/bary tables)
+    dynamic = jax.vmap(lambda v, ids, b: jnp.sum(v[ids] * b[..., None], axis=-2))(
+        vertices, dyn_ids, dyn_bary
+    )
 
     return jnp.concatenate([dynamic, static], axis=1)

@@ -53,6 +53,22 @@ def project_vertices_onto_image(
     return v2d - jnp.stack([crop_x, crop_y]).astype(v2d.dtype)
 
 
+def weak_perspective_project(
+    vertices: jax.Array, scale_param: jax.Array, translation: jax.Array, image_size
+) -> jax.Array:
+    """Rotated FLAME vertices (B, V, 3) + 3DMM scale/translation -> pixel
+    coordinates (B, V, 3; slice [..., :2] for 2D).
+
+    THE canonical weak-perspective projection (reference head_mesh.py:33-46):
+    scale = clip(scale_param + 1, 1e-8), translation with its z zeroed,
+    (v * s + t + 1) / 2 * image_size. The losses' shared decode, HeadMesh,
+    and the predictor/AOT decode all call this one definition, so a tweak
+    here can never desynchronize training from inference."""
+    scale = jnp.clip(scale_param[:, None] + 1.0, min=1e-8)  # (B, 1, 1)
+    t = translation.at[..., 2].set(0.0)
+    return (vertices * scale + t[:, None] + 1.0) / 2.0 * image_size
+
+
 def heatmap_to_keypoints(heatmap_nhwc: jax.Array, stride: int = 4) -> jax.Array:
     """Per-channel argmax of a (B, H, W, C) heatmap -> (B, C, 2) xy pixel
     coordinates at input resolution (multiplied by the stride)."""

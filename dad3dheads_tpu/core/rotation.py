@@ -24,8 +24,21 @@ class RPY(NamedTuple):
     yaw: jax.Array
 
 
+def _safe_norm(v: jax.Array, axis: int = -1) -> jax.Array:
+    """L2 norm whose GRADIENT is zero (not NaN) at v == 0.
+
+    ``jnp.linalg.norm``'s VJP at zero is 0/0 = NaN, and a downstream
+    ``jnp.maximum(norm, eps)`` only fixes the forward value (0 * NaN = NaN
+    still poisons the backward pass). ``sqrt(maximum(sum(v^2), eps^2))``
+    routes the gradient through ``maximum``'s zero branch instead — matching
+    the torch reference, whose F.normalize/norm backward is finite at zero
+    (a zero-init rotation head on step 0 hits exactly this)."""
+    sq = jnp.sum(v * v, axis=axis, keepdims=True)
+    return jnp.sqrt(jnp.maximum(sq, _EPS * _EPS))
+
+
 def _normalize(v: jax.Array, axis: int = -1) -> jax.Array:
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=axis, keepdims=True), _EPS)
+    return v / _safe_norm(v, axis=axis)
 
 
 def rot_mat_from_6dof(v: jax.Array) -> jax.Array:
@@ -44,6 +57,16 @@ def rot_mat_from_6dof(v: jax.Array) -> jax.Array:
     return jnp.stack((b1, b2, b3), axis=-1)
 
 
+def rotate_vertices(R: jax.Array, vertices: jax.Array) -> jax.Array:
+    """Apply (B, 3, 3) rotations to (B, V, 3) vertices — THE canonical
+    global-rotation application (fp32 MXU precision); flame_decode, the
+    losses' shared decode, and the predictor all route through it so the
+    train-time geometry can never drift from inference."""
+    return jnp.einsum(
+        "bxy,bvy->bvx", R, vertices, precision=jax.lax.Precision.HIGHEST
+    )
+
+
 def rodrigues(aa: jax.Array) -> jax.Array:
     """Axis-angle vectors -> rotation matrices (batched Rodrigues formula).
 
@@ -52,8 +75,8 @@ def rodrigues(aa: jax.Array) -> jax.Array:
     Returns:
       (..., 3, 3) rotation matrices.
     """
-    angle = jnp.linalg.norm(aa, axis=-1, keepdims=True)  # (..., 1)
-    axis = aa / jnp.maximum(angle, _EPS)
+    angle = _safe_norm(aa, axis=-1)  # (..., 1); zero-safe gradient
+    axis = aa / angle
     cos = jnp.cos(angle)[..., None]
     sin = jnp.sin(angle)[..., None]
     rx, ry, rz = axis[..., 0], axis[..., 1], axis[..., 2]

@@ -40,6 +40,8 @@ from ..constants import (
 from ..core import normalize_to_cube, rot_mat_from_6dof
 from ..core.flame import FlameParams, flame_decode
 from ..core.head_mesh import HeadMesh
+from ..core.projection import weak_perspective_project
+from ..core.rotation import rotate_vertices
 
 _EPS = 1e-6
 
@@ -94,11 +96,8 @@ def shared_flame_decode_raw(
     params = FlameParams.from_3dmm(params_3dmm, flame_constants)
     v0 = flame_decode(model, params, zero_rot=True)
     R = rot_mat_from_6dof(params.rotation.astype(v0.dtype))
-    v_rot = jnp.einsum("bxy,bvy->bvx", R, v0, precision=jax.lax.Precision.HIGHEST)
-
-    scale = jnp.clip(params.scale[:, None] + 1.0, min=1e-8)
-    translation = params.translation.at[..., 2].set(0.0)
-    proj = (v_rot * scale + translation[:, None] + 1.0) / 2.0 * image_size
+    v_rot = rotate_vertices(R, v0)
+    proj = weak_perspective_project(v_rot, params.scale, params.translation, image_size)
     return SharedFlameDecode(
         vertices_zero_rot=v0, vertices_rot=v_rot, reprojected_2d=proj[..., :2]
     )
@@ -116,17 +115,14 @@ def shared_flame_decode(head_mesh: HeadMesh, params_3dmm: jax.Array) -> SharedFl
 
 
 def iou_loss(pred_heatmap_logits: jax.Array, target_heatmap: jax.Array) -> jax.Array:
-    """1 - soft IoU between sigmoid(pred) and target. NHWC or NCHW agnostic:
-    reduces over all but the first two ... — we fix NHWC (B, H, W, C)."""
-    p = jax.nn.sigmoid(pred_heatmap_logits)
-    t = target_heatmap
+    """1 - soft IoU between sigmoid(pred) and target, NHWC (B, H, W, C).
 
-    def op_sum(x):
-        return jnp.sum(x, axis=(1, 2))  # (B, C)
+    ONE soft-IoU definition serves both this loss and the logged
+    ``heatmap_iou`` metric — an eps/reduction tweak can never desynchronize
+    them."""
+    from ..metrics import soft_iou
 
-    inter = op_sum(t * p)
-    iou = (inter + _EPS) / (op_sum(t * t) + op_sum(p * p) - inter + _EPS)
-    return 1.0 - jnp.mean(iou)
+    return 1.0 - soft_iou(jax.nn.sigmoid(pred_heatmap_logits), target_heatmap, eps=_EPS)
 
 
 def landmarks_loss_w_visibility(

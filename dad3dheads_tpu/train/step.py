@@ -123,7 +123,19 @@ class _StepCommon:
 
     def metrics(self, outputs, targets, shared: SharedFlameDecode) -> Dict[str, jax.Array]:
         presence = targets[TARGET_2D_LANDMARKS_PRESENCE][..., None]
-        pred_2d = outputs[OUTPUT_2D_LANDMARKS] * self.img_size * presence
+        if OUTPUT_2D_LANDMARKS in outputs:
+            pred_norm = outputs[OUTPUT_2D_LANDMARKS]
+        else:
+            # heatmap-only model variants: argmax-decode like the reference's
+            # _get_keypoints_2d fallback (same precedence as api/predictor)
+            from ..core.projection import heatmap_to_keypoints
+
+            hm = outputs[OUTPUT_LANDMARKS_HEATMAP]
+            pred_norm = (
+                heatmap_to_keypoints(hm, self.img_size // hm.shape[1])
+                / self.img_size
+            )
+        pred_2d = pred_norm * self.img_size * presence
         tgt_2d = targets[TARGET_2D_LANDMARKS] * presence * self.img_size
         fi = self.face_idx
         return compute_step_metrics(

@@ -140,3 +140,43 @@ def test_calculate_rpy_matches_scipy(rng):
         assert float(rpy.roll[i]) == pytest.approx(limit(ang[2]), abs=1e-3)
         assert float(rpy.pitch[i]) == pytest.approx(limit(ang[0] - 180), abs=1e-3)
         assert float(rpy.yaw[i]) == pytest.approx(limit(ang[1]), abs=1e-3)
+
+
+def test_dynamic_bin_matches_smplx_oracle_mixed_rotation(rng):
+    """Mixed yaw+pitch+roll poses: the bin must follow smplx's
+    rot_mat_to_euler (atan2(-R[2,0], sqrt(R[0,0]^2 + R[1,0]^2))) applied to
+    the [global @ neck] chain product — a plain asin only agrees for
+    pure-yaw rotations (reference engine: smplx find_dynamic_lmk_idx...)."""
+    from scipy.spatial.transform import Rotation
+
+    aa = rng.normal(size=(16, 5, 3)).astype(np.float32) * 0.6
+    pose = jnp.asarray(aa.reshape(16, 15))
+    bins = np.asarray(dynamic_landmark_bin(pose))
+
+    for i in range(16):
+        R = (Rotation.from_rotvec(aa[i, 0]) * Rotation.from_rotvec(aa[i, 1])).as_matrix()
+        y_deg = -np.degrees(np.arctan2(-R[2, 0], np.hypot(R[0, 0], R[1, 0])))
+        y = int(np.round(np.clip(y_deg, None, 39.0)))
+        expected = (78 if y < -39 else 39 - y) if y < 0 else y
+        assert bins[i] == expected, (i, bins[i], expected, y_deg)
+
+
+def test_rotation_gradients_finite_at_zero():
+    """A zero-initialized rotation head (step 0) feeds exact zeros into
+    rodrigues and rot_mat_from_6dof; their gradients must be finite (the
+    torch reference's norm/normalize backward is finite at zero — a NaN here
+    poisons every parameter via the optimizer on the first step)."""
+    import jax
+
+    from dad3dheads_tpu.core.rotation import rodrigues, rot_mat_from_6dof
+
+    g = jax.grad(lambda aa: jnp.sum(rodrigues(aa) ** 2))(jnp.zeros((2, 3)))
+    assert np.isfinite(np.asarray(g)).all()
+
+    g6 = jax.grad(lambda v: jnp.sum(rot_mat_from_6dof(v) ** 2))(jnp.zeros((2, 6)))
+    assert np.isfinite(np.asarray(g6)).all()
+
+    # degenerate 6dof: vy parallel to vx (cross product exactly zero)
+    v = jnp.asarray([[1.0, 0, 0, 2.0, 0, 0]])
+    gp = jax.grad(lambda v: jnp.sum(rot_mat_from_6dof(v) ** 2))(v)
+    assert np.isfinite(np.asarray(gp)).all()
