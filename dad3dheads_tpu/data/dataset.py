@@ -239,7 +239,10 @@ class FlameDataset:
             tensor, scale, pads = preprocess_image_np(
                 crop, self.img_size, norm, mode=self.resize_mode
             )
-            if self.output_uint8:
+            if self.output_uint8 and tensor.dtype != np.uint8:
+                # preprocess 'none' already returns raw uint8; this rescale
+                # exists only for a float-returning preprocess (a 0..1 image)
+                # — applying it to uint8 saturated every pixel >= 1 to 255
                 tensor = np.clip(tensor * 255.0 + 0.5, 0, 255).astype(np.uint8)
             lms_t = transform_keypoints_np(lms_2d, scale, pads)
             full_t = transform_keypoints_np(full_2d, scale, pads)
@@ -378,6 +381,13 @@ class DataLoader:
                         samples = list(ex.map(self.dataset.__getitem__, b))
                         if not put_or_stop(collate(samples)):
                             return
+            except BaseException as e:  # noqa: BLE001 — relayed to consumer
+                # a crash must surface in the training loop, not silently end
+                # the epoch early: a truncated epoch on one host desyncs the
+                # per-process batch counts and deadlocks cross-host
+                # collectives
+                put_or_stop(e)
+                return
             finally:
                 put_or_stop(None)
 
@@ -388,6 +398,8 @@ class DataLoader:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

@@ -41,16 +41,21 @@ def random_3dmm(rng: jax.Array, batch: int, dtype=jnp.float32) -> jax.Array:
     ~5) so the ~0.22-unit head spans most of the [-1, 1] image frame — the
     regime real face crops live in; near-zero scale renders a head a few
     pixels wide."""
+    from ..constants import flame_param_offset
+
     k1, k2, k3, k4 = jax.random.split(rng, 4)
     n = total_3dmm_size()
+    o_rot = flame_param_offset("rotation")
+    o_tr = flame_param_offset("translation")
+    o_sc = flame_param_offset("scale")
     x = jax.random.normal(k1, (batch, n), dtype) * 0.1
     # rotation 6dof near the identity frame
     base_rot = jnp.asarray([1.0, 0, 0, 0, 1.0, 0], dtype)
     rot = base_rot + jax.random.normal(k2, (batch, 6), dtype) * 0.1
-    x = x.at[:, 403:409].set(rot)
-    x = x.at[:, 409:412].set(jax.random.normal(k3, (batch, 3), dtype) * 0.1)  # translation
+    x = x.at[:, o_rot : o_rot + 6].set(rot)
+    x = x.at[:, o_tr : o_tr + 3].set(jax.random.normal(k3, (batch, 3), dtype) * 0.1)
     scale = 4.0 + jax.random.normal(k4, (batch, 1), dtype) * 0.7
-    x = x.at[:, 412:413].set(jnp.clip(scale, 2.5, 6.0))
+    x = x.at[:, o_sc : o_sc + 1].set(jnp.clip(scale, 2.5, 6.0))
     return x
 
 

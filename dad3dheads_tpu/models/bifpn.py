@@ -176,6 +176,14 @@ class BiFPN(nn.Module):
     @nn.compact
     def __call__(self, inputs: Sequence[jax.Array], train: bool = False) -> List[jax.Array]:
         c2, c3, c4 = inputs
+        # flax infers lateral-conv input channels from the traced inputs;
+        # validate them against the declared spec so a wrong-order or
+        # wrong-backbone tap list fails here, not as a silent mis-wire
+        got = tuple(int(t.shape[-1]) for t in inputs)
+        if got != tuple(self.sizes):
+            raise ValueError(
+                f"BiFPN input channels {got} do not match sizes={tuple(self.sizes)}"
+            )
         f = self.feature_size
         p3_x = nn.Conv(f, (1, 1), dtype=self.dtype, name="p3")(c2)
         p4_x = nn.Conv(f, (1, 1), dtype=self.dtype, name="p4")(c3)

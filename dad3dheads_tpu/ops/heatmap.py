@@ -51,8 +51,10 @@ def encode_heatmap(
     # and the eps-underflow zeroing of gaussian_2d
     g = jnp.where(inside & (g >= jnp.finfo(jnp.float32).eps), g, 0.0)
     g = g * presence[..., None, None].astype(g.dtype)
-    # uint8 quantization round-trip (targets are stored as uint8 * 255)
-    return jnp.round(g * 255.0).astype(jnp.uint8)
+    # uint8 quantization round-trip (targets are stored as uint8 * 255);
+    # TRUNCATE like the host coder / reference (np.uint8(255.0 * hm),
+    # data/coder.py) — rounding differed by one level on ~half the texels
+    return jnp.floor(g * 255.0).astype(jnp.uint8)
 
 
 def decode_heatmap_uint8(heatmap_u8: jax.Array) -> jax.Array:

@@ -66,7 +66,11 @@ def put_global_batch(batch: Dict[str, Any], mesh) -> Dict[str, jax.Array]:
                 f"{divisor} (local data-axis rows)"
             )
         if single_host:
-            out[k] = jax.device_put(jnp.asarray(v), sharding)
+            # device_put straight from the host array: each device receives
+            # only its slice (jnp.asarray first would stage the WHOLE batch
+            # on the default device, then reshard device-to-device — double
+            # transfer on the hot input path)
+            out[k] = jax.device_put(v, sharding)
         else:
             out[k] = jax.make_array_from_process_local_data(sharding, np.asarray(v))
     return out

@@ -90,6 +90,13 @@ def test_dataset_uint8_mode(tmp_path, rng):
     )
     item = ds[0]
     assert item[INPUT_IMAGE_KEY].dtype == np.uint8
+    # pixel VALUES are the raw resized crop — an old rescale bug saturated
+    # every pixel >= 1 to 255 (garbage binary inputs through the whole
+    # uint8 training path)
+    from dad3dheads_tpu.ops.preprocess import preprocess_image_np
+
+    assert item[INPUT_IMAGE_KEY].max() < 255 or img.max() == 255
+    assert len(np.unique(item[INPUT_IMAGE_KEY])) > 10
 
     # the train step normalizes uint8 images on device
     import jax.numpy as jnp
@@ -120,3 +127,45 @@ def test_loader_drop_last_and_order(tmp_path, rng):
 
     loader2 = DataLoader(FakeDS(), batch_size=2, shuffle=False, num_workers=1, drop_last=False)
     assert len(list(loader2)) == 3
+
+
+def test_loader_relays_worker_exceptions(tmp_path):
+    """A producer-thread crash must raise in the consumer, not silently end
+    the epoch early (a truncated epoch on one host desyncs per-process batch
+    counts and deadlocks cross-host collectives)."""
+    class ExplodingDS:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i >= 4:
+                raise RuntimeError("boom at sample 4")
+            return {"x": np.zeros((2,), np.float32)}
+
+    dl = DataLoader(ExplodingDS(), batch_size=2, shuffle=False, num_workers=2)
+    seen = 0
+    with pytest.raises(RuntimeError, match="boom at sample 4"):
+        for _ in dl:
+            seen += 1
+    assert seen == 2  # the two good batches arrived before the crash
+
+
+def test_device_heatmap_encoder_matches_host_coder(rng):
+    """encode_heatmap (device) == HeatmapCoder (host) bit-for-bit, including
+    the uint8 TRUNCATION the reference uses (np.uint8(255 * hm))."""
+    import jax.numpy as jnp
+
+    from dad3dheads_tpu.data.dataset import HeatmapCoder
+    from dad3dheads_tpu.ops.heatmap import encode_heatmap
+
+    coder = HeatmapCoder(64, 4, radius=5, num_classes=68)
+    pts = (rng.uniform(size=(68, 2)) * 64).astype(np.float32)
+    presence = rng.uniform(size=(68,)) > 0.2
+    host = coder(pts, presence)  # (C, S, S) uint8
+    dev = np.asarray(
+        encode_heatmap(
+            jnp.asarray(pts[None]), jnp.asarray(presence[None]),
+            img_size=64, stride=4, radius=5,
+        )
+    )[0]
+    np.testing.assert_array_equal(dev, host)  # both (K, S, S)
