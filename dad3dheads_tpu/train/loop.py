@@ -18,6 +18,7 @@ import json
 import logging
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, Iterable, Optional
 
 import jax
@@ -160,6 +161,10 @@ class Trainer:
         # freq from train_stage images_log_freq; 0 disables)
         self.images_log_freq = int(config.get("images_log_freq", 0))
         self._viz_forward = None
+        # panel fetch + drawing runs off the step path (one worker thread,
+        # <= 2 panels in flight); _drain_panels() joins it at fit end
+        self._panel_pool = None
+        self._panel_futs = []
         self._tb = None
         self._log_file = open(os.path.join(self.experiment_dir, "metrics.jsonl"), "a")
 
@@ -189,40 +194,92 @@ class Trainer:
         tb = self._tb_writer()
         if not tb:
             return
-        from ..constants import INPUT_IMAGE_KEY
+        from ..constants import (
+            INPUT_IMAGE_KEY,
+            OUTPUT_2D_LANDMARKS,
+            OUTPUT_LANDMARKS_HEATMAP,
+            TARGET_2D_LANDMARKS,
+        )
         from .visualization import heatmap_panel_from_batch, landmarks_panel_from_batch
 
         if self._viz_forward is None:
+            from ..constants import IMAGENET_MEAN, IMAGENET_STD
             from ..ops.preprocess import normalize_batch_jax
 
+            norm_mode = self.config.get("normalize", "imagenet")
+
             def fwd(params, batch_stats, img):
-                if img.dtype == jnp.uint8:
-                    img = normalize_batch_jax(img)
-                return self.model.apply(
-                    {"params": params, "batch_stats": batch_stats}, img, train=False
+                x = normalize_batch_jax(img) if img.dtype == jnp.uint8 else img
+                out = self.model.apply(
+                    {"params": params, "batch_stats": batch_stats}, x, train=False
                 )
+                # panels need only: uint8 images, the max-over-channel heatmap
+                # probability map, and the 2D landmarks — reduce ON DEVICE so
+                # the async host fetch is ~1.6 MB, not ~16 MB
+                if img.dtype == jnp.uint8:
+                    img_u8 = img
+                else:
+                    d = img
+                    if norm_mode == "imagenet":
+                        d = d * jnp.asarray(IMAGENET_STD, d.dtype) + jnp.asarray(
+                            IMAGENET_MEAN, d.dtype
+                        )
+                    elif norm_mode == "mean":
+                        d = d * 0.5 + 0.5
+                    img_u8 = jnp.clip(d * 255.0, 0, 255).astype(jnp.uint8)
+                probs = jax.nn.sigmoid(
+                    out[OUTPUT_LANDMARKS_HEATMAP].astype(jnp.float32)
+                ).max(axis=-1, keepdims=True)
+                hm_u8 = jnp.round(probs * 255.0).astype(jnp.uint8)
+                return img_u8, hm_u8, out[OUTPUT_2D_LANDMARKS]
 
             self._viz_forward = jax.jit(fwd)
 
-        outputs = self._viz_forward(state.params, state.batch_stats, batch[INPUT_IMAGE_KEY])
         n = min(8, int(batch[INPUT_IMAGE_KEY].shape[0]))
-        host_batch = {
-            k: np.asarray(v[:n]) for k, v in batch.items() if hasattr(v, "shape")
+        img_u8, hm_u8, pred_lmks = self._viz_forward(
+            state.params, state.batch_stats, batch[INPUT_IMAGE_KEY][:n]
+        )
+        dev_batch = {
+            INPUT_IMAGE_KEY: img_u8,
+            TARGET_2D_LANDMARKS: batch[TARGET_2D_LANDMARKS][:n],
         }
-        host_out = jax.device_get({k: v[:n] for k, v in outputs.items()})
+        dev_out = {OUTPUT_2D_LANDMARKS: pred_lmks, OUTPUT_LANDMARKS_HEATMAP: hm_u8}
+        # start the (slow, ~15 MB) device->host copies now; the worker thread
+        # below blocks on them, not the training loop
+        for leaf in jax.tree_util.tree_leaves((dev_batch, dev_out)):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
         normalize = self.config.get("normalize", "imagenet")
-        tb.add_image(
-            "train/landmarks",
-            landmarks_panel_from_batch(host_batch, host_out, self.img_size, normalize=normalize),
-            step,
-            dataformats="HWC",
-        )
-        tb.add_image(
-            "train/heatmap",
-            heatmap_panel_from_batch(host_batch, host_out, normalize=normalize),
-            step,
-            dataformats="HWC",
-        )
+        img_size = self.img_size
+
+        def draw_and_write():
+            host_batch = {k: np.asarray(v) for k, v in dev_batch.items()}
+            host_out = jax.device_get(dev_out)
+            tb.add_image(
+                "train/landmarks",
+                landmarks_panel_from_batch(host_batch, host_out, img_size, normalize=normalize),
+                step,
+                dataformats="HWC",
+            )
+            tb.add_image(
+                "train/heatmap",
+                heatmap_panel_from_batch(host_batch, host_out, normalize=normalize),
+                step,
+                dataformats="HWC",
+            )
+
+        if self._panel_pool is None:
+            self._panel_pool = ThreadPoolExecutor(1, thread_name_prefix="tb-panels")
+        self._panel_futs = [f for f in self._panel_futs if not f.done()]
+        while len(self._panel_futs) >= 2:  # backpressure: bound device refs held
+            self._panel_futs.pop(0).result()
+        self._panel_futs.append(self._panel_pool.submit(draw_and_write))
+
+    def _drain_panels(self) -> None:
+        """Join in-flight panel writes; re-raises any worker exception."""
+        futs, self._panel_futs = self._panel_futs, []
+        for f in futs:
+            f.result()
 
     # -- validation --------------------------------------------------------
     def _validate(self, state, flame, max_steps: Optional[int] = None) -> Dict[str, float]:
@@ -421,6 +478,10 @@ class Trainer:
             # durability: held best-epoch snapshots reach disk even when
             # fit raises mid-run (loader failure, debug_nans abort, ...)
             self.ckpt.flush_held()
+            try:
+                self._drain_panels()
+            except Exception:  # don't mask an in-flight fit exception
+                logger.exception("image-panel writer failed")
 
         # export the best checkpoint (by the monitored metric) for inference,
         # falling back to the final state (reference exports the best too —

@@ -42,6 +42,8 @@ def draw_keypoints_panel(
     import cv2
 
     img = np.ascontiguousarray(image)
+    if not img.flags.writeable:  # jax->numpy views are read-only; cv2 draws in place
+        img = img.copy()
     if gt_landmarks is not None:
         for pt in gt_landmarks.astype(int):
             cv2.circle(img, (int(pt[0]), int(pt[1])), radius, GT_COLOR, -1)
@@ -102,7 +104,12 @@ def heatmap_panel_from_batch(
 
     imgs = np.asarray(batch[INPUT_IMAGE_KEY])[:max_images]
     logits = np.asarray(outputs[OUTPUT_LANDMARKS_HEATMAP])[:max_images]
-    probs = 1.0 / (1.0 + np.exp(-logits.astype(np.float32)))
+    if logits.dtype == np.uint8:
+        # device-precomputed max-prob map scaled by 255 (loop.log_image_panels
+        # ships this instead of the full 68-channel logits)
+        probs = logits.astype(np.float32) / 255.0
+    else:
+        probs = 1.0 / (1.0 + np.exp(-logits.astype(np.float32)))
     panels = []
     for i in range(len(imgs)):
         panels.append(heatmap_overlay(_as_uint8(imgs[i], normalize), probs[i]))

@@ -27,6 +27,13 @@ def main() -> None:
     ap.add_argument("--img", type=int, default=256)
     ap.add_argument("--steps", type=int, default=30, help="train steps per epoch")
     ap.add_argument("--dtype", default="bf16")
+    ap.add_argument(
+        "--images-log-freq",
+        type=int,
+        default=0,
+        help="TB pred-vs-GT panels every N steps (reference train_stage knob); "
+        "panel fetch+draw is async so this should be ~free",
+    )
     args = ap.parse_args()
 
     from dad3dheads_tpu.utils import enable_compilation_cache
@@ -59,6 +66,7 @@ def main() -> None:
             # the measured epochs so this reports the LOOP's steady state —
             # host dispatch + prefetch + device step — vs the bare step
             "checkpoint_every_n_epochs": 4,
+            "images_log_freq": args.images_log_freq,
         }
         loader = SyntheticLoader(flame, emb, args.batch, args.img, args.steps)
         trainer = Trainer(model, config, loader, val_loader=None, flame=flame)
@@ -92,6 +100,7 @@ def main() -> None:
                 "dtype": args.dtype,
                 "steps_per_epoch": args.steps,
                 "steady_epoch_s": round(steady, 3),
+                "images_log_freq": args.images_log_freq,
                 "devices": len(jax.devices()),
             }
         )
