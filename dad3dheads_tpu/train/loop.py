@@ -208,7 +208,12 @@ class Trainer:
 
             norm_mode = self.config.get("normalize", "imagenet")
 
-            def fwd(params, batch_stats, img):
+            def fwd(params, batch_stats, img_full, tgt_full):
+                # slice to the panel rows INSIDE the jit: a host-side [:n] on a
+                # device array is its own dispatch (one extra RPC per event on
+                # remote-attached setups)
+                n = min(8, img_full.shape[0])
+                img = img_full[:n]
                 x = normalize_batch_jax(img) if img.dtype == jnp.uint8 else img
                 out = self.model.apply(
                     {"params": params, "batch_stats": batch_stats}, x, train=False
@@ -231,30 +236,47 @@ class Trainer:
                     out[OUTPUT_LANDMARKS_HEATMAP].astype(jnp.float32)
                 ).max(axis=-1, keepdims=True)
                 hm_u8 = jnp.round(probs * 255.0).astype(jnp.uint8)
-                return img_u8, hm_u8, out[OUTPUT_2D_LANDMARKS]
+                # pack pred + GT landmarks into one (n, 272) fp32 buffer: tiny
+                # trailing dims like (n, 68, 2) force a device-side layout
+                # repack on fetch, and one buffer means one d2h stream
+                lmks = jnp.concatenate(
+                    [
+                        out[OUTPUT_2D_LANDMARKS].astype(jnp.float32).reshape(n, -1),
+                        tgt_full[:n].astype(jnp.float32).reshape(n, -1),
+                    ],
+                    axis=-1,
+                )
+                return img_u8, hm_u8, lmks
 
             self._viz_forward = jax.jit(fwd)
 
         n = min(8, int(batch[INPUT_IMAGE_KEY].shape[0]))
-        img_u8, hm_u8, pred_lmks = self._viz_forward(
-            state.params, state.batch_stats, batch[INPUT_IMAGE_KEY][:n]
+        img_u8, hm_u8, lmks_packed = self._viz_forward(
+            state.params,
+            state.batch_stats,
+            batch[INPUT_IMAGE_KEY],
+            batch[TARGET_2D_LANDMARKS],
         )
-        dev_batch = {
-            INPUT_IMAGE_KEY: img_u8,
-            TARGET_2D_LANDMARKS: batch[TARGET_2D_LANDMARKS][:n],
-        }
-        dev_out = {OUTPUT_2D_LANDMARKS: pred_lmks, OUTPUT_LANDMARKS_HEATMAP: hm_u8}
-        # start the (slow, ~15 MB) device->host copies now; the worker thread
-        # below blocks on them, not the training loop
-        for leaf in jax.tree_util.tree_leaves((dev_batch, dev_out)):
+        # start the device->host copies now; the worker thread below blocks on
+        # them, not the training loop (total per event: 1 jit dispatch + 3
+        # async copies)
+        for leaf in (img_u8, hm_u8, lmks_packed):
             if hasattr(leaf, "copy_to_host_async"):
                 leaf.copy_to_host_async()
         normalize = self.config.get("normalize", "imagenet")
         img_size = self.img_size
 
         def draw_and_write():
-            host_batch = {k: np.asarray(v) for k, v in dev_batch.items()}
-            host_out = jax.device_get(dev_out)
+            lmks = np.asarray(lmks_packed)
+            k = lmks.shape[-1] // 2
+            host_batch = {
+                INPUT_IMAGE_KEY: np.asarray(img_u8),
+                TARGET_2D_LANDMARKS: lmks[:, k:].reshape(n, -1, 2),
+            }
+            host_out = {
+                OUTPUT_2D_LANDMARKS: lmks[:, :k].reshape(n, -1, 2),
+                OUTPUT_LANDMARKS_HEATMAP: np.asarray(hm_u8),
+            }
             tb.add_image(
                 "train/landmarks",
                 landmarks_panel_from_batch(host_batch, host_out, img_size, normalize=normalize),
