@@ -208,6 +208,44 @@ def main() -> None:
         per_p = max((timed_p(1 + ITERS) - timed_p(1)) / ITERS, 1e-9)
         extra["preproc_e2e_ips"] = round(BATCH / per_p, 1)
 
+    if os.environ.get("BENCH_MOBILENET", "1") != "0" and mode == "full":
+        # the second supported encoder (reference encoder_mapping,
+        # model_training/model/encoders.py:51-54) — first-class bench entry
+        mnet = create_model({"backbone": "mobilenet_w1", "dtype": DTYPE})
+        mvars = jax.jit(lambda r: mnet.init(r, x_init, train=False))(jax.random.PRNGKey(0))
+
+        @jax.jit
+        def run_m(mvars, flame, embedding, seed, n_iters):
+            images = jax.random.normal(seed, (BATCH, 256, 256, 3), in_dtype)
+
+            def body(i, carry):
+                imgs, acc = carry
+                out = mnet.apply(mvars, imgs, train=False)
+                mm = out[OUTPUT_3DMM_PARAMS].astype(jnp.float32)
+                params = FlameParams.from_3dmm(mm)
+                v0 = flame_decode(flame, params, zero_rot=True)
+                v = rotate_vertices(rot_mat_from_6dof(params.rotation), v0)
+                lms = get_68_landmarks(v, embedding)
+                chk = jnp.mean(lms) + 1e-20 * jnp.sum(v[:, 0])
+                imgs = imgs.at[0, 0, 0, 0].add((chk * 1e-30).astype(imgs.dtype))
+                return imgs, acc + chk
+
+            _, acc = jax.lax.fori_loop(0, n_iters, body, (images, jnp.zeros(())))
+            return acc
+
+        float(run_m(mvars, flame, embedding, jax.random.PRNGKey(1), 1))
+
+        def timed_m(n, reps=3):
+            best = float("inf")
+            for i in range(reps):
+                t0 = time.perf_counter()
+                float(run_m(mvars, flame, embedding, jax.random.PRNGKey(2 + i), n))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        per_m = max((timed_m(1 + ITERS) - timed_m(1)) / ITERS, 1e-9)
+        extra["mobilenet_e2e_ips"] = round(BATCH / per_m, 1)
+
     if os.environ.get("BENCH_TRAIN", "1") != "0":
         extra = {**extra, **_train_step_bench()}
 

@@ -118,6 +118,13 @@ class FlameDataset:
         # uint8 output defers normalization to the device (4x cheaper
         # host->device transfer; the train step normalizes on chip)
         self.output_uint8 = bool(config.get("output_uint8", False))
+        # device_heatmap defers heatmap encoding to the device entirely: the
+        # sample carries NO heatmap and the train/eval step synthesizes it
+        # with ops/heatmap.py (bit-equal to the host coder). Kills the
+        # single biggest per-item host cost after JPEG decode — the
+        # reference burns this in every worker process
+        # (model_training/data/flame_dataset.py:64-71 -> coder.py)
+        self.device_heatmap = bool(config.get("device_heatmap", False))
         kp_cfg = config.get("keypoints", {}) or {}
         subset_name = kp_cfg.get("2d_subset_name", "multipie_keypoints")
         if subset_name == "multipie_keypoints":
@@ -247,8 +254,7 @@ class FlameDataset:
             lms_t = transform_keypoints_np(lms_2d, scale, pads)
             full_t = transform_keypoints_np(full_2d, scale, pads)
 
-            heatmap = self.coder(lms_t, presence)  # (C, S, S) uint8
-            return {
+            sample = {
                 SAMPLE_INDEX_KEY: idx,
                 IMAGE_FILENAME_KEY: item["img_path"],
                 INPUT_IMAGE_KEY: tensor,
@@ -257,8 +263,11 @@ class FlameDataset:
                 TARGET_2D_LANDMARKS: (lms_t / self.img_size).astype(np.float32),
                 TARGET_2D_FULL_LANDMARKS: full_t.astype(np.float32),
                 TARGET_2D_LANDMARKS_PRESENCE: presence,
-                TARGET_LANDMARKS_HEATMAP: np.transpose(heatmap, (1, 2, 0)),  # HWC
             }
+            if not self.device_heatmap:
+                heatmap = self.coder(lms_t, presence)  # (C, S, S) uint8
+                sample[TARGET_LANDMARKS_HEATMAP] = np.transpose(heatmap, (1, 2, 0))
+            return sample
         except (OSError, KeyError, ValueError, json.JSONDecodeError):
             return None
 
@@ -334,6 +343,17 @@ class DataLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self._rng = np.random.default_rng(seed)
+
+    def set_batch_size(self, batch_size: int) -> None:
+        """Rebind the GLOBAL batch size (the auto_scale_batch_size hook —
+        train/loop.py Trainer.tune_batch_size); takes effect next epoch."""
+        if batch_size % self.process_count != 0:
+            raise ValueError(
+                f"global batch size {batch_size} must be divisible by "
+                f"process_count {self.process_count}"
+            )
+        self.batch_size = batch_size
+        self.local_batch_size = batch_size // self.process_count
 
     def __len__(self) -> int:
         n = len(self.dataset) // self.process_count

@@ -138,7 +138,7 @@ def _axis_weights(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("img_size", "normalize", "mode")
+    jax.jit, static_argnames=("img_size", "normalize", "mode", "impl")
 )
 def preprocess_frames_device(
     frames_u8: jax.Array,
@@ -147,6 +147,7 @@ def preprocess_frames_device(
     img_size: int = 256,
     normalize: str = "imagenet",
     mode: str = "longest_max_size",
+    impl: str = "auto",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused device preprocess for a batch of padded full frames.
 
@@ -210,6 +211,19 @@ def preprocess_frames_device(
     wx = jax.vmap(
         lambda *a: _axis_weights(Wmax, img_size, *a)
     )(x0, bw, new_w, pad_left, use_area, use_exact_area)  # (B, S, Wmax)
+
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl in ("pallas", "pallas_interpret"):
+        # the fused north-star kernel: uint8 read side, split-bf16 MXU
+        # matmuls, VMEM-resident intermediate, normalize in the epilogue
+        from .preprocess_pallas import resample_normalize_pallas
+
+        out = resample_normalize_pallas(
+            frames_u8, wy, wx, img_size, normalize,
+            interpret=(impl == "pallas_interpret"),
+        )
+        return out, scales, paddings
 
     x = frames_u8.astype(jnp.float32)
     # (B, S, Hmax) x (B, Hmax, Wmax, C) -> (B, S, Wmax, C), then over W

@@ -121,14 +121,26 @@ class Trainer:
             opt_cfg, gradient_clip_val=float(config.get("gradient_clip_val", 0.0))
         )
         loss_module = LossModule(config.get("loss"))
+        # heatmap geometry for the in-step device encoder (used when the
+        # loader defers heatmap encoding — FlameDataset device_heatmap: true)
+        hm_stride = int(config.get("stride", 4))
+        hm_radius = int(config.get("radius", 5))
         self.train_step = build_train_step(
             model,
             self.tx,
             loss_module=loss_module,
             img_size=self.img_size,
             warmup_steps=self.warmup_steps,
+            heatmap_stride=hm_stride,
+            heatmap_radius=hm_radius,
         )
-        self.eval_step = build_eval_step(model, loss_module, img_size=self.img_size)
+        self.eval_step = build_eval_step(
+            model,
+            loss_module,
+            img_size=self.img_size,
+            heatmap_stride=hm_stride,
+            heatmap_radius=hm_radius,
+        )
 
         self.ckpt = CheckpointManager(
             os.path.join(self.experiment_dir, "checkpoints"),
@@ -157,6 +169,20 @@ class Trainer:
                 "be a fraction of an epoch in (0, 1]; pass an int for a step "
                 "count"
             )
+        # validate every N epochs (PL Trainer(check_val_every_n_epoch=...),
+        # reference train/utils.py:79)
+        self.check_val_every_n_epoch = int(config.get("check_val_every_n_epoch", 1))
+        if self.check_val_every_n_epoch < 1:
+            raise ValueError(
+                f"check_val_every_n_epoch={self.check_val_every_n_epoch}: must be >= 1"
+            )
+        # opt-in auto-tuners (PL auto_lr_find / auto_scale_batch_size,
+        # reference train/utils.py:64,77); results land in tuned_lr /
+        # tuned_batch_size when fit runs them
+        self.auto_lr = bool(config.get("auto_lr", False))
+        self.auto_bs = bool(config.get("auto_bs", False))
+        self.tuned_lr: Optional[float] = None
+        self.tuned_batch_size: Optional[int] = None
         # pred-vs-GT image panels every N steps (reference mixins.py:55-171,
         # freq from train_stage images_log_freq; 0 disables)
         self.images_log_freq = int(config.get("images_log_freq", 0))
@@ -239,13 +265,16 @@ class Trainer:
                 # pack pred + GT landmarks into one (n, 272) fp32 buffer: tiny
                 # trailing dims like (n, 68, 2) force a device-side layout
                 # repack on fetch, and one buffer means one d2h stream
-                lmks = jnp.concatenate(
-                    [
-                        out[OUTPUT_2D_LANDMARKS].astype(jnp.float32).reshape(n, -1),
-                        tgt_full[:n].astype(jnp.float32).reshape(n, -1),
-                    ],
-                    axis=-1,
+                pred_lmks = out[OUTPUT_2D_LANDMARKS].astype(jnp.float32).reshape(n, -1)
+                gt_lmks = tgt_full[:n].astype(jnp.float32).reshape(n, -1)
+                # the host unpack splits this buffer at its midpoint, which is
+                # only valid when the model's landmark count matches the GT's
+                assert pred_lmks.shape[-1] == gt_lmks.shape[-1], (
+                    "panel landmark count mismatch: model predicts "
+                    f"{pred_lmks.shape[-1] // 2} landmarks but the batch "
+                    f"carries {gt_lmks.shape[-1] // 2}"
                 )
+                lmks = jnp.concatenate([pred_lmks, gt_lmks], axis=-1)
                 return img_u8, hm_u8, lmks
 
             self._viz_forward = jax.jit(fwd)
@@ -333,6 +362,136 @@ class Trainer:
             return max(1, int(steps_per_epoch * v))
         return max(1, int(v))
 
+    # -- auto-tuners --------------------------------------------------------
+    def _fresh_state(self, seed: int = 17) -> TrainState:
+        return jax.device_put(
+            init_train_state(
+                self.model,
+                self.tx,
+                jax.random.PRNGKey(seed),
+                (1, self.img_size, self.img_size, 3),
+            ),
+            replicated(self.mesh),
+        )
+
+    def tune_lr(
+        self,
+        num_steps: int = 60,
+        min_lr: float = 1e-6,
+        max_lr: float = 1.0,
+        beta: float = 0.9,
+        flame=None,
+    ) -> float:
+        """LR-range test (PL ``auto_lr_find`` equivalent, reference
+        train/utils.py:64): up to ``num_steps`` train steps on a THROWAWAY
+        state with exponentially increasing LR, tracking the EMA-smoothed
+        loss and aborting once it exceeds 4x its best. The suggestion is the
+        LR at the steepest descent of the smoothed curve. Never mutates the
+        trainer; ``fit`` folds the suggestion into the LR multiplier."""
+        if self.train_loader is None:
+            raise ValueError("tune_lr requires a train_loader")
+        from ..parallel.prefetch import device_prefetch
+
+        flame = flame if flame is not None else jax.device_put(self.flame, replicated(self.mesh))
+        state = self._fresh_state()
+        rng = jax.random.PRNGKey(23)
+        lrs = np.geomspace(min_lr, max_lr, num_steps)
+        losses: list = []
+        avg, best = 0.0, float("inf")
+
+        def batches():
+            while True:
+                for b in device_prefetch(self.train_loader, self.mesh):
+                    yield b
+
+        for i, batch in zip(range(num_steps), batches()):
+            # cancel the step's built-in linear warmup so exactly lrs[i]
+            # is applied (the step scales updates by warmup * lr_mult)
+            wu = min(1.0, (i + 1.0) / self.warmup_steps) if self.warmup_steps > 0 else 1.0
+            factor = lrs[i] / (self.base_lr * wu)
+            state, logs = self.train_step(
+                state, flame, batch, rng, jnp.asarray(factor, jnp.float32)
+            )
+            loss = float(logs["loss"])
+            if not np.isfinite(loss):
+                break
+            avg = beta * avg + (1.0 - beta) * loss
+            smoothed = avg / (1.0 - beta ** (i + 1))
+            if losses and smoothed > 4.0 * best:
+                break  # diverged — the sweep has passed the useful range
+            best = min(best, smoothed)
+            losses.append(smoothed)
+        if len(losses) < 4:
+            logger.warning(
+                "tune_lr: only %d finite steps — keeping base lr %.3g",
+                len(losses),
+                self.base_lr,
+            )
+            return self.base_lr
+        # steepest descent of the smoothed loss over the swept (log-spaced)
+        # LRs — the classic LR-range-test suggestion point
+        k = int(np.argmin(np.gradient(np.asarray(losses))))
+        suggested = float(lrs[k])
+        logger.info(
+            "tune_lr: suggested lr %.3g after %d steps (smoothed loss %.4f)",
+            suggested,
+            len(losses),
+            losses[k],
+        )
+        return suggested
+
+    def tune_batch_size(
+        self, max_trials: int = 6, max_batch_size: int = 8192, flame=None
+    ) -> int:
+        """Batch-size probe (PL ``auto_scale_batch_size`` 'power' mode,
+        reference train/utils.py:77): doubles the batch from the loader's
+        current size until the compiled train step no longer fits on the
+        device (OOM) or a cap is hit; returns the largest batch that ran.
+        Each probe compiles one fresh step shape on a throwaway state."""
+        if self.train_loader is None:
+            raise ValueError("tune_batch_size requires a train_loader")
+        from ..parallel.mesh import pad_batch_to_devices, shard_batch
+
+        flame = flame if flame is not None else jax.device_put(self.flame, replicated(self.mesh))
+        sample = next(iter(self.train_loader))
+        sample = {k: np.asarray(v) for k, v in sample.items()}
+        bs0 = int(next(iter(sample.values())).shape[0])
+        rng = jax.random.PRNGKey(29)
+        good: Optional[int] = None
+        bs = bs0
+        for _ in range(max_trials):
+            bs_p = pad_batch_to_devices(bs, self.mesh)
+            reps = -(-bs_p // bs0)
+            probe = {
+                k: np.concatenate([v] * reps, axis=0)[:bs_p] for k, v in sample.items()
+            }
+            try:
+                state = self._fresh_state()
+                state, logs = self.train_step(
+                    state,
+                    flame,
+                    shard_batch(probe, self.mesh),
+                    rng,
+                    jnp.ones((), jnp.float32),
+                )
+                jax.block_until_ready(logs["loss"])
+                del state
+                good = bs_p
+                logger.info("tune_batch_size: batch %d fits", bs_p)
+            except Exception as e:  # noqa: BLE001 — only OOM is expected
+                msg = repr(e)
+                if any(
+                    s in msg
+                    for s in ("RESOURCE_EXHAUSTED", "Out of memory", "out of memory", "OOM")
+                ):
+                    logger.info("tune_batch_size: batch %d OOMs — stopping", bs_p)
+                    break
+                raise
+            if bs_p * 2 > max_batch_size:
+                break
+            bs = bs_p * 2
+        return good if good is not None else bs0
+
     # -- fit ---------------------------------------------------------------
     def fit(self, state: Optional[TrainState] = None, resume: bool = False) -> TrainState:
         if state is None:
@@ -353,6 +512,31 @@ class Trainer:
 
         rng = jax.random.PRNGKey(int(self.config.get("seed", 0)) + 1)
         lr_mult = 1.0
+        # opt-in auto-tuners before any real training (reference
+        # train/utils.py:64,77 — PL auto_scale_batch_size / auto_lr_find)
+        if self.auto_bs and self.train_loader is not None:
+            self.tuned_batch_size = self.tune_batch_size(
+                max_trials=int(self.config.get("auto_bs_max_trials", 6)),
+                max_batch_size=int(self.config.get("auto_bs_max", 8192)),
+                flame=flame,
+            )
+            for loader in (self.train_loader, self.val_loader):
+                if loader is not None and hasattr(loader, "set_batch_size"):
+                    loader.set_batch_size(self.tuned_batch_size)
+            logger.info("auto_bs: using batch size %d", self.tuned_batch_size)
+        if self.auto_lr and self.train_loader is not None:
+            self.tuned_lr = self.tune_lr(
+                num_steps=int(self.config.get("auto_lr_steps", 60)), flame=flame
+            )
+            # applied as a multiplier on the optimizer's base LR so plateau /
+            # schedule composition keeps working unchanged
+            lr_mult = self.tuned_lr / self.base_lr
+            logger.info(
+                "auto_lr: lr %.3g (multiplier %.3g on base %.3g)",
+                self.tuned_lr,
+                lr_mult,
+                self.base_lr,
+            )
 
         # Preemption safety (TPU pods are preemptible): on SIGTERM/SIGINT,
         # finish the current step, save 'last', and exit cleanly so
@@ -437,7 +621,9 @@ class Trainer:
                 steps_per_epoch = n_batches
 
                 val_metrics: Dict[str, float] = {}
-                if self.val_loader is not None:
+                if self.val_loader is not None and (
+                    (epoch + 1) % self.check_val_every_n_epoch == 0
+                ):
                     val_metrics = self._validate(state, flame)
 
                 # the LR actually applied this epoch: base * plateau-mult *

@@ -49,12 +49,36 @@ from .schedulers import warmup_factor
 from .state import TrainState
 
 
-def _prepare_targets(batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+def _prepare_targets(
+    batch: Dict[str, jax.Array],
+    img_size: int = 256,
+    heatmap_stride: int = 4,
+    heatmap_radius: int = 5,
+) -> Dict[str, jax.Array]:
     """Device-side input normalization (the reference's KeypointsDataMixin
     .get_input: uint8 heatmap -> fp32 in [0, 1]). Images may arrive uint8
     (4x cheaper host->device transfer); ImageNet normalization then runs on
-    device."""
+    device.
+
+    When the batch carries NO heatmap (FlameDataset ``device_heatmap: true``
+    — loader threads skip the host HeatmapCoder entirely), the target is
+    synthesized here from the normalized 2D landmarks by the device encoder
+    (ops/heatmap.py, bit-equal to the host coder). The landmark de-normalize
+    ``normalized * img_size`` is exact for power-of-two image sizes, so the
+    Gaussian centers match the host path bit-for-bit."""
     targets = dict(batch)
+    if TARGET_LANDMARKS_HEATMAP not in targets:
+        from ..ops.heatmap import encode_heatmap
+
+        kp = targets[TARGET_2D_LANDMARKS].astype(jnp.float32) * img_size
+        hm_u8 = encode_heatmap(
+            kp,
+            targets[TARGET_2D_LANDMARKS_PRESENCE],
+            img_size=img_size,
+            stride=heatmap_stride,
+            radius=heatmap_radius,
+        )  # (B, K, S, S) uint8 -> HWC like the host loader emits
+        targets[TARGET_LANDMARKS_HEATMAP] = jnp.transpose(hm_u8, (0, 2, 3, 1))
     hm = targets[TARGET_LANDMARKS_HEATMAP]
     if hm.dtype == jnp.uint8:
         targets[TARGET_LANDMARKS_HEATMAP] = hm.astype(jnp.float32) / 255.0
@@ -78,10 +102,14 @@ class _StepCommon:
         loss_module: Optional[LossModule] = None,
         img_size: int = 256,
         flame_constants: Optional[Dict[str, int]] = None,
+        heatmap_stride: int = 4,
+        heatmap_radius: int = 5,
     ):
         self.model = model
         self.loss_module = loss_module or LossModule()
         self.img_size = img_size
+        self.heatmap_stride = heatmap_stride
+        self.heatmap_radius = heatmap_radius
         from ..constants import FLAME_CONSTS
 
         self.flame_constants = dict(flame_constants or FLAME_CONSTS)
@@ -97,7 +125,9 @@ class _StepCommon:
         dropout_rng: Optional[jax.Array],
         train: bool,
     ):
-        targets = _prepare_targets(batch)
+        targets = _prepare_targets(
+            batch, self.img_size, self.heatmap_stride, self.heatmap_radius
+        )
         variables = {"params": params, "batch_stats": batch_stats}
         if train:
             outputs, mutated = self.model.apply(
@@ -162,13 +192,17 @@ def build_train_step(
     flame_constants: Optional[Dict[str, int]] = None,
     with_metrics: bool = True,
     jit: bool = True,
+    heatmap_stride: int = 4,
+    heatmap_radius: int = 5,
 ) -> Callable:
     """Returns jitted ``train_step(state, flame, batch, rng, lr_mult)`` ->
     (new_state, logs). ``lr_mult`` is the host-side plateau multiplier (1.0
     when unused); linear warmup is applied inside from ``state.step``.
     ``jit=False`` returns the raw traceable function (for embedding in an
     outer jit, e.g. a benchmark loop)."""
-    common = _StepCommon(model, loss_module, img_size, flame_constants)
+    common = _StepCommon(
+        model, loss_module, img_size, flame_constants, heatmap_stride, heatmap_radius
+    )
 
     def train_step(
         state: TrainState,
@@ -218,9 +252,13 @@ def build_eval_step(
     loss_module: Optional[LossModule] = None,
     img_size: int = 256,
     flame_constants: Optional[Dict[str, int]] = None,
+    heatmap_stride: int = 4,
+    heatmap_radius: int = 5,
 ) -> Callable:
     """Returns jitted ``eval_step(state, flame, batch)`` -> logs dict."""
-    common = _StepCommon(model, loss_module, img_size, flame_constants)
+    common = _StepCommon(
+        model, loss_module, img_size, flame_constants, heatmap_stride, heatmap_radius
+    )
 
     @jax.jit
     def eval_step(

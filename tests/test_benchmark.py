@@ -153,3 +153,75 @@ def test_zn_pred_not_scaled_matches_reference_path(tmp_path, rng):
     ev = DADEvaluator(gt_path, sub_path)
     overall, _ = ev()
     assert np.isfinite(overall["z5_accuracy"])
+
+
+def _make_noisy_submission(tmp_path, rng, n):
+    """GT + an imperfect submission (non-degenerate metric values)."""
+    gt_path, sub_path = _make_gt_and_perfect_submission(tmp_path, rng, n=n)
+    import json as _json
+
+    with open(sub_path) as f:
+        sub = _json.load(f)
+    for key, p in sub.items():
+        for field, sigma in (
+            ("68_landmarks_2d", 2.0),
+            ("N_landmarks_3d", 0.3),
+            ("7_landmarks_3d", 0.1),
+        ):
+            arr = np.asarray(p[field], np.float32)
+            p[field] = (arr + rng.normal(size=arr.shape).astype(np.float32) * sigma).tolist()
+        # perturbed but still a rotation: small random rotation composed in
+        w = rng.normal(size=3) * 0.05
+        th = np.linalg.norm(w)
+        k = w / (th + 1e-12)
+        K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+        dR = np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+        p["rotation_matrix"] = (dR @ np.asarray(p["rotation_matrix"])).tolist()
+    with open(sub_path, "w") as f:
+        _json.dump(sub, f)
+    return gt_path, sub_path
+
+
+def test_batched_evaluator_matches_per_sample_oracle(tmp_path, rng):
+    """The single-dispatch batched scorer is BIT-IDENTICAL to the per-sample
+    loop, per metric, on a chunk-straddling sample count (5 with chunk 2
+    exercises the edge pad). Exactness holds because the device kernels are
+    batching-invariant (elementwise / gather / exactly-commutative min), the
+    tiny landmark/Procrustes math runs in host numpy shared by both paths,
+    and the final reductions run on host in float64."""
+    gt_path, sub_path = _make_noisy_submission(tmp_path, rng, n=5)
+    ev = DADEvaluator(gt_path, sub_path)
+    fast_overall, fast_attrs = ev(batched=True, chunk=2)
+    slow_overall, slow_attrs = ev(batched=False)
+    for k in slow_overall:
+        np.testing.assert_array_equal(fast_overall[k], slow_overall[k], err_msg=k)
+    for metric, attrs in slow_attrs.items():
+        for attr, values in attrs.items():
+            for v, mean in values.items():
+                np.testing.assert_array_equal(fast_attrs[metric][attr][v], mean)
+
+
+def test_batched_evaluator_dispatch_count(tmp_path, rng, monkeypatch):
+    """Scoring N samples stays at ONE device dispatch regardless of N — the
+    TPU-first promise vs the reference's per-sample loop
+    (/root/reference/dad_3dheads_benchmark/benchmark.py:153-196). The tiny
+    landmark/Procrustes/projection math runs in host numpy."""
+    import importlib
+
+    # the package re-exports an ``evaluate`` FUNCTION; fetch the module
+    ev_mod = importlib.import_module("dad3dheads_tpu.benchmark_harness.evaluate")
+
+    gt_path, sub_path = _make_noisy_submission(tmp_path, rng, n=7)
+    calls = {"n": 0}
+
+    def count(fn):
+        def wrapped(*a, **k):
+            calls["n"] += 1
+            return fn(*a, **k)
+
+        return wrapped
+
+    monkeypatch.setattr(ev_mod, "_heavy_chunked", count(ev_mod._heavy_chunked))
+    overall, _ = DADEvaluator(gt_path, sub_path)(batched=True, chunk=4)
+    assert calls["n"] == 1
+    assert all(np.isfinite(v) for v in overall.values())

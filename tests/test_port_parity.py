@@ -134,3 +134,63 @@ def test_backbone_only_port_torchvision_dialect():
         else:
             assert not pstr.startswith(("params/encoder", "batch_stats/encoder")), pstr
             np.testing.assert_array_equal(np.asarray(leaf), np.asarray(by_path[pstr]))
+
+
+@pytest.fixture(scope="module")
+def torch_mobilenet():
+    torch.manual_seed(13)
+    net = TorchDAD3DNet(backbone="mobilenet_w1")
+    randomize_bn_stats(net, seed=17)
+    net.eval()
+    return net
+
+
+@pytest.fixture(scope="module")
+def ported_flax_mobilenet(torch_mobilenet):
+    from port_torch_weights import dad3dnet_name_map
+
+    model = create_model({"backbone": "mobilenet_w1"})
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 3), jnp.float32), train=False
+    )
+    sd = {k: v.detach().numpy() for k, v in torch_mobilenet.state_dict().items()}
+    ported, report = port_by_name_map(sd, variables, dad3dnet_name_map("mobilenet_w1"))
+    assert report == [], "\n".join(report)
+    return model, ported
+
+
+def test_mobilenet_name_map_is_total(ported_flax_mobilenet):
+    """Every mobilenet flax leaf must be covered (nothing left random) —
+    same first-class guarantee resnet50 has (reference encoders.py:51-54)."""
+    from port_torch_weights import dad3dnet_name_map
+
+    model, ported = ported_flax_mobilenet
+    mapped = set(dad3dnet_name_map("mobilenet_w1"))
+    flat = jax.tree_util.tree_flatten_with_path(ported)[0]
+    missing = []
+    for path, _ in flat:
+        pstr = "/".join(str(getattr(e, "key", e)) for e in path)
+        if pstr not in mapped:
+            missing.append(pstr)
+    assert missing == [], missing
+
+
+def test_mobilenet_port_numerical_parity(torch_mobilenet, ported_flax_mobilenet):
+    """flax mobilenet_w1 DAD-3DNet == torch mirror to fp32 tolerance."""
+    model, ported = ported_flax_mobilenet
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, 3, IMG, IMG)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = torch_mobilenet(torch.from_numpy(x))
+
+    out = model.apply(ported, jnp.asarray(np.transpose(x, (0, 2, 3, 1))), train=False)
+
+    heat = np.transpose(np.asarray(out[OUTPUT_LANDMARKS_HEATMAP]), (0, 3, 1, 2))
+    np.testing.assert_allclose(heat, ref["heatmap"].numpy(), rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(out[OUTPUT_3DMM_PARAMS]), ref["params_3dmm"].numpy(), rtol=1e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[OUTPUT_2D_LANDMARKS]), ref["landmarks"].numpy(), rtol=1e-3, atol=2e-3
+    )

@@ -107,3 +107,36 @@ def test_device_preprocess_clamps_loose_bboxes(rng):
     b = preprocess_frames_device(frames, sizes, clamped, img_size=S)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+def test_pallas_kernel_matches_xla_path(rng):
+    """The fused Pallas crop+resize+normalize (split-bf16 MXU matmuls,
+    uint8 read side — ops/preprocess_pallas.py resample_normalize_pallas)
+    == the XLA HIGHEST-precision einsum path to ~2^-16 relative (the hi+lo
+    bf16 decomposition error), with identical scale/pad metadata."""
+    frames, sizes, bboxes = _random_frames(rng, 4, 96, 120)
+    for mode in ("longest_max_size", "resize"):
+        ref, s1, p1 = preprocess_frames_device(
+            frames, sizes, bboxes, img_size=S, mode=mode, impl="xla"
+        )
+        out, s2, p2 = preprocess_frames_device(
+            frames, sizes, bboxes, img_size=S, mode=mode, impl="pallas_interpret"
+        )
+        diff = np.abs(np.asarray(out) - np.asarray(ref))
+        assert diff.max() < 1e-3, (mode, diff.max())
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_pallas_kernel_identity_crop_exact(rng):
+    """Identity crops resample with 0/1 weights: uint8 is exact in bf16 and
+    the hi/lo split leaves no residual, so the kernel is EXACT (matches the
+    host atol used in test_device_preprocess_identity_crop)."""
+    frames = (rng.uniform(size=(2, S, S, 3)) * 255).astype(np.uint8)
+    sizes = np.asarray([[S, S]] * 2, np.int32)
+    bboxes = np.asarray([[0, 0, S, S]] * 2, np.int32)
+    ref, _, _ = preprocess_frames_device(frames, sizes, bboxes, img_size=S, impl="xla")
+    out, _, _ = preprocess_frames_device(
+        frames, sizes, bboxes, img_size=S, impl="pallas_interpret"
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)

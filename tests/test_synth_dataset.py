@@ -169,3 +169,44 @@ def test_mesh_sidecar_cache(synth_root):
     re = FlameDataset._load_mesh(ann)
     for a, b in zip(cold, re):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_device_heatmap_defers_encoding_to_step(synth_root):
+    """FlameDataset(device_heatmap=true) omits the heatmap from the sample
+    (loader threads skip the host coder — the biggest per-item cost after
+    JPEG decode); the step-side preparer then synthesizes it on device
+    BYTE-EQUAL to the host coder's target (reference does this work in every
+    dataloader worker: model_training/data/flame_dataset.py:64-71)."""
+    import jax.numpy as jnp
+
+    from dad3dheads_tpu.constants import TARGET_LANDMARKS_HEATMAP
+    from dad3dheads_tpu.data.dataset import FlameDataset, collate
+    from dad3dheads_tpu.train.step import _prepare_targets
+
+    base = os.path.join(synth_root, "DAD-3DHeadsDataset", "val")
+    cfg = {
+        "ann_path": os.path.join(base, "val.json"),
+        "dataset_root": base,
+        "img_size": 256,
+        "stride": 4,
+        "num_classes": 68,
+        "keypoints": {"2d_subset_name": "multipie_keypoints"},
+        "transform": {"normalize": "imagenet"},
+        "output_uint8": True,
+        "seed": 3,
+    }
+    ds_host = FlameDataset.from_config(cfg)
+    ds_dev = FlameDataset.from_config({**cfg, "device_heatmap": True})
+
+    host_samples = [ds_host[i] for i in range(2)]
+    dev_samples = [ds_dev[i] for i in range(2)]
+    assert all(TARGET_LANDMARKS_HEATMAP not in s for s in dev_samples)
+
+    batch = collate(dev_samples)
+    batch = {
+        k: jnp.asarray(v) for k, v in batch.items() if isinstance(v, np.ndarray)
+    }
+    targets = _prepare_targets(batch, img_size=256, heatmap_stride=4, heatmap_radius=5)
+    got = np.round(np.asarray(targets[TARGET_LANDMARKS_HEATMAP]) * 255.0).astype(np.uint8)
+    want = collate(host_samples)[TARGET_LANDMARKS_HEATMAP]
+    np.testing.assert_array_equal(got, want)

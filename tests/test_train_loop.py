@@ -398,3 +398,85 @@ def test_resolve_val_interval_fraction(tmp_path):
     assert trainer._resolve_val_interval(None) == 200
     trainer.val_loader = None
     assert trainer._resolve_val_interval(100) is None
+
+
+def test_trainer_auto_knobs(tmp_path):
+    """auto_lr (LR-range test), auto_bs (batch-doubling probe) and
+    check_val_every_n_epoch — the last PL trainer-factory knobs
+    (reference train/utils.py:64,77,79)."""
+    from dad3dheads_tpu.cli.train import SyntheticLoader
+    from dad3dheads_tpu.train.loop import Trainer
+
+    flame, emb, model = _tiny_trainer_parts()
+    config = {
+        "img_size": 64,
+        "max_epochs": 2,
+        "optimizer": {"name": "adam", "lr": 1e-4},
+        "experiment_dir": str(tmp_path / "exp"),
+        "sanity_val_steps": 0,
+        "auto_lr": True,
+        "auto_lr_steps": 6,
+        "auto_bs": True,
+        "auto_bs_max_trials": 2,
+        "auto_bs_max": 16,
+        "check_val_every_n_epoch": 2,
+        "eval_best": False,
+    }
+    loader = SyntheticLoader(flame, emb, batch_size=8, img_size=64, steps=2)
+    val = SyntheticLoader(flame, emb, batch_size=8, img_size=64, steps=1, seed=9)
+    trainer = Trainer(model, config, loader, val, flame=flame)
+    state = trainer.fit()
+
+    # both tuners ran and recorded their results
+    assert trainer.tuned_lr is not None and trainer.tuned_lr > 0
+    assert trainer.tuned_batch_size in (8, 16)  # probe from 8, one doubling
+    # the tuners used throwaway states: real training still ran 2x2 steps
+    assert int(state.step) == 4
+
+    # check_val_every_n_epoch=2: valid/* metrics only on the 2nd epoch line
+    with open(tmp_path / "exp" / "metrics.jsonl") as f:
+        rows = [json.loads(l) for l in f]
+    epoch_rows = [r for r in rows if "train/loss" in r]
+    assert len(epoch_rows) == 2
+    assert "valid/loss" not in epoch_rows[0]
+    assert "valid/loss" in epoch_rows[1]
+
+
+def test_tune_lr_suggests_within_swept_range(tmp_path):
+    """tune_lr returns an LR inside [min_lr, max_lr] and never mutates the
+    trainer's base LR."""
+    from dad3dheads_tpu.cli.train import SyntheticLoader
+    from dad3dheads_tpu.train.loop import Trainer
+
+    flame, emb, model = _tiny_trainer_parts()
+    config = {
+        "img_size": 64,
+        "max_epochs": 1,
+        "optimizer": {"name": "adam", "lr": 1e-4},
+        "experiment_dir": str(tmp_path / "exp"),
+    }
+    loader = SyntheticLoader(flame, emb, batch_size=8, img_size=64, steps=3)
+    trainer = Trainer(model, config, loader, None, flame=flame)
+    lr = trainer.tune_lr(num_steps=5, min_lr=1e-5, max_lr=1e-2)
+    assert 1e-5 <= lr <= 1e-2
+    assert trainer.base_lr == 1e-4
+
+
+def test_dataloader_set_batch_size():
+    """The auto_scale_batch_size hook rebinds global + local batch sizes and
+    rejects sizes that don't divide across processes."""
+    import pytest
+
+    from dad3dheads_tpu.data.dataset import DataLoader
+
+    class _DS:
+        def __len__(self):
+            return 64
+
+    dl = DataLoader(_DS(), 8, num_workers=1, process_index=0, process_count=2)
+    # 64 items / 2 processes = 32 local; local batch 4 -> 8 batches/epoch
+    assert dl.local_batch_size == 4 and len(dl) == 8
+    dl.set_batch_size(16)
+    assert dl.batch_size == 16 and dl.local_batch_size == 8 and len(dl) == 4
+    with pytest.raises(ValueError):
+        dl.set_batch_size(9)

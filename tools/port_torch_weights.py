@@ -34,6 +34,7 @@ from typing import Any, Dict, List, Tuple
 import numpy as np
 
 RESNET50_STAGE_UNITS = (3, 4, 6, 3)
+MOBILENET_STAGE_UNITS = (1, 2, 2, 6, 2)
 BIFPN_NODES = ("p3_td", "p4_td", "p5_td", "p6_td", "p4_out", "p5_out", "p6_out", "p7_out")
 
 
@@ -96,11 +97,44 @@ def _torchvision_encoder_entries(flax_prefix: str) -> Dict[str, Tuple[str, str]]
     return m
 
 
-def dad3dnet_resnet50_name_map() -> Dict[str, Tuple[str, str]]:
+def _mobilenet_encoder_entries(flax_prefix: str, torch_prefix: str) -> Dict[str, Tuple[str, str]]:
+    """Explicit map for the five-stage pytorchcv mobilenet_w1 feature
+    extractor (reference model_training/model/encoders.py:51-54; channel
+    table backbone.yaml 64/128/256/512/1024). flax layout:
+    models/mobilenet.py — ``init_conv``/``init_bn`` then ``s{S}_{u}`` blocks
+    with Conv_0/BatchNorm_0 (depthwise) + Conv_1/BatchNorm_1 (pointwise)."""
+    m: Dict[str, Tuple[str, str]] = {}
+
+    def bn(fp: str, tp: str) -> None:
+        m[f"params/{fp[0]}/{fp[1]}/scale"] = (f"{tp}.weight", "id")
+        m[f"params/{fp[0]}/{fp[1]}/bias"] = (f"{tp}.bias", "id")
+        m[f"batch_stats/{fp[0]}/{fp[1]}/mean"] = (f"{tp}.running_mean", "id")
+        m[f"batch_stats/{fp[0]}/{fp[1]}/var"] = (f"{tp}.running_var", "id")
+
+    m[f"params/{flax_prefix}/init_conv/kernel"] = (f"{torch_prefix}.init_block.conv.weight", "conv")
+    bn((flax_prefix, "init_bn"), f"{torch_prefix}.init_block.bn")
+    for s, units in enumerate(MOBILENET_STAGE_UNITS, start=1):
+        for u in range(units):
+            fp = f"{flax_prefix}/s{s}_{u}"
+            tp = f"{torch_prefix}.stage{s}.unit{u + 1}"
+            m[f"params/{fp}/Conv_0/kernel"] = (f"{tp}.dw_conv.conv.weight", "conv")
+            bn((fp, "BatchNorm_0"), f"{tp}.dw_conv.bn")
+            m[f"params/{fp}/Conv_1/kernel"] = (f"{tp}.pw_conv.conv.weight", "conv")
+            bn((fp, "BatchNorm_1"), f"{tp}.pw_conv.bn")
+    return m
+
+
+def dad3dnet_name_map(backbone: str = "resnet50") -> Dict[str, Tuple[str, str]]:
     """flax path ('/'-joined, collection-prefixed) -> (torch state-dict key,
     layout conversion) for the full reference FlameRegression assembly
-    (model_training/model/flame_regression.py:62-85)."""
-    m = _resnet50_encoder_entries("encoder", "encoder.model")
+    (model_training/model/flame_regression.py:62-85) with either supported
+    backbone (encoder_mapping, encoders.py:51-54)."""
+    if backbone == "resnet50":
+        m = _resnet50_encoder_entries("encoder", "encoder.model")
+    elif backbone == "mobilenet_w1":
+        m = _mobilenet_encoder_entries("encoder", "encoder.model")
+    else:
+        raise KeyError(f"unknown backbone {backbone!r}")
 
     def bn(fp: str, tp: str) -> None:
         m[f"params/{fp}/scale"] = (f"{tp}.weight", "id")
@@ -133,6 +167,11 @@ def dad3dnet_resnet50_name_map() -> Dict[str, Tuple[str, str]]:
             m[f"params/{fh}/{fd}/kernel"] = (f"{th}.logit_image.{td}.weight", "dense")
             m[f"params/{fh}/{fd}/bias"] = (f"{th}.logit_image.{td}.bias", "id")
     return m
+
+
+def dad3dnet_resnet50_name_map() -> Dict[str, Tuple[str, str]]:
+    """Back-compat alias for the flagship map."""
+    return dad3dnet_name_map("resnet50")
 
 
 def backbone_name_map(dialect: str) -> Dict[str, Tuple[str, str]]:
@@ -322,6 +361,13 @@ def main() -> None:
     ap.add_argument("--out", required=True, help="output msgpack path")
     ap.add_argument("--img-size", type=int, default=256)
     ap.add_argument(
+        "--backbone",
+        choices=("resnet50", "mobilenet_w1"),
+        default="resnet50",
+        help="encoder of the checkpoint being ported (reference "
+        "encoder_mapping, encoders.py:51-54)",
+    )
+    ap.add_argument(
         "--backbone-only",
         choices=("pytorchcv", "torchvision"),
         help="treat the input as an ImageNet-pretrained resnet50 backbone and "
@@ -342,7 +388,7 @@ def main() -> None:
     from dad3dheads_tpu.api.predictor import save_predictor_checkpoint
     from dad3dheads_tpu.models import create_model
 
-    model = create_model({"backbone": "resnet50"})
+    model = create_model({"backbone": args.backbone})
     x = jnp.zeros((1, args.img_size, args.img_size, 3), jnp.float32)
     variables = jax.jit(lambda r: model.init(r, x, train=False))(jax.random.PRNGKey(0))
 
@@ -355,7 +401,9 @@ def main() -> None:
             torch_sd, variables, backbone_name_map(args.backbone_only)
         )
     else:
-        ported, report = port_by_name_map(torch_sd, variables, dad3dnet_resnet50_name_map())
+        ported, report = port_by_name_map(
+            torch_sd, variables, dad3dnet_name_map(args.backbone)
+        )
     for line in report:
         print(line)
     print(f"{len(report)} unmatched/unused tensors")

@@ -32,6 +32,8 @@ import torch.nn.functional as F
 
 RESNET50_UNITS = (3, 4, 6, 3)
 RESNET50_CHANNELS = (256, 512, 1024, 2048)
+MOBILENET_UNITS = (1, 2, 2, 6, 2)
+MOBILENET_CHANNELS = (64, 128, 256, 512, 1024)
 
 
 def _conv_bn(in_c: int, out_c: int, k: int, stride: int = 1, pad: int = 0) -> nn.Module:
@@ -118,6 +120,83 @@ class StagedEncoder(nn.Module):
         }
 
 
+class ConvBlock(nn.Module):
+    """pytorchcv ConvBlock WITH forward (conv+bn+relu) — the mobilenet
+    init block."""
+
+    def __init__(self, in_c: int, out_c: int, k: int, stride: int = 1, pad: int = 0):
+        super().__init__()
+        self.conv = nn.Conv2d(in_c, out_c, k, stride=stride, padding=pad, bias=False)
+        self.bn = nn.BatchNorm2d(out_c)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+class DwsConvBlock(nn.Module):
+    """pytorchcv DwsConvBlock: children ``dw_conv`` and ``pw_conv``, each a
+    ConvBlock (depthwise 3x3 then pointwise 1x1, BN+ReLU after each)."""
+
+    def __init__(self, in_c: int, out_c: int, stride: int):
+        super().__init__()
+        self.dw_conv = nn.Module()
+        self.dw_conv.conv = nn.Conv2d(
+            in_c, in_c, 3, stride=stride, padding=1, groups=in_c, bias=False
+        )
+        self.dw_conv.bn = nn.BatchNorm2d(in_c)
+        self.pw_conv = nn.Module()
+        self.pw_conv.conv = nn.Conv2d(in_c, out_c, 1, bias=False)
+        self.pw_conv.bn = nn.BatchNorm2d(out_c)
+
+    def forward(self, x):
+        x = F.relu(self.dw_conv.bn(self.dw_conv.conv(x)))
+        return F.relu(self.pw_conv.bn(self.pw_conv.conv(x)))
+
+
+def mobilenet_features() -> nn.Module:
+    """pytorchcv ``mobilenet_w1().features`` minus the final avgpool
+    (init_block 3x3/s2 -> 32ch, then 5 depthwise-separable stages)."""
+    feats = nn.Module()
+    feats.init_block = ConvBlock(3, 32, 3, stride=2, pad=1)
+    in_c = 32
+    for s, (units, out_c) in enumerate(zip(MOBILENET_UNITS, MOBILENET_CHANNELS), start=1):
+        stage = nn.Sequential(
+            OrderedDict(
+                (
+                    f"unit{u + 1}",
+                    DwsConvBlock(
+                        in_c if u == 0 else out_c,
+                        out_c,
+                        stride=(2 if (s > 1 and u == 0) else 1),
+                    ),
+                )
+                for u in range(units)
+            )
+        )
+        setattr(feats, f"stage{s}", stage)
+        in_c = out_c
+    return feats
+
+
+class MobileEncoder(nn.Module):
+    """Reference (non-staged) Encoder for mobilenet_w1: stage 0 is
+    init_block + stage1 (encoders.py:25-31, encoder_mapping:52-54)."""
+
+    def __init__(self):
+        super().__init__()
+        self.model = mobilenet_features()
+        self.stages = [
+            nn.Sequential(self.model.init_block, self.model.stage1),
+            self.model.stage2,
+            self.model.stage3,
+            self.model.stage4,
+            self.model.stage5,
+        ]
+        self.encoder_channels = {
+            "layer0": 1024, "layer1": 512, "layer2": 256, "layer3": 128, "layer4": 64,
+        }
+
+
 class DepthwiseConvBlock(nn.Module):
     def __init__(self, c: int):
         super().__init__()
@@ -195,11 +274,23 @@ class TorchClassificationHead(nn.Module):
 
 
 class TorchDAD3DNet(nn.Module):
-    """Mirror of FlameRegression (flame_regression.py:62-106), resnet50 only."""
+    """Mirror of FlameRegression (flame_regression.py:62-106) for both
+    reference backbones (resnet50 staged / mobilenet_w1 non-staged)."""
 
-    def __init__(self, num_filters: int = 256, num_classes: int = 68, limit_value: float = 3.0):
+    def __init__(
+        self,
+        num_filters: int = 256,
+        num_classes: int = 68,
+        limit_value: float = 3.0,
+        backbone: str = "resnet50",
+    ):
         super().__init__()
-        self.encoder = StagedEncoder()
+        if backbone == "resnet50":
+            self.encoder = StagedEncoder()
+        elif backbone == "mobilenet_w1":
+            self.encoder = MobileEncoder()
+        else:
+            raise KeyError(backbone)
         ch = self.encoder.encoder_channels
         self.bifpn = TorchBiFPN([ch["layer3"], ch["layer2"], ch["layer1"]], num_filters)
         self.head = nn.Module()
