@@ -176,8 +176,10 @@ def main() -> None:
         @jax.jit
         def run_p(variables, flame, embedding, seed, n_iters):
             k1, k2 = jax.random.split(seed)
+            # channel-planar (B, H, 3W) — the serving wire format that
+            # pack_frames_host(planar=True) pastes at zero extra host cost
             frames = jax.random.randint(
-                k1, (BATCH, FRAME, FRAME, 3), 0, 256, jnp.uint8
+                k1, (BATCH, FRAME, 3 * FRAME), 0, 256, jnp.uint8
             )
             sizes = jnp.tile(jnp.asarray([[FRAME, FRAME]], jnp.int32), (BATCH, 1))
             # varied face-crop-sized boxes exercise the dynamic weight build
@@ -185,14 +187,20 @@ def main() -> None:
             boxes = jnp.concatenate([off, off + 320], axis=-1)
 
             def body(i, carry):
-                frames, acc = carry
-                imgs, _, _ = preprocess_frames_device(frames, sizes, boxes, 256)
+                bx, acc = carry
+                imgs, _, _ = preprocess_frames_device(
+                    frames, sizes, bx, 256, layout="planar", out_dtype=in_dtype
+                )
                 v, proj, lms = pipeline(variables, flame, embedding, imgs.astype(in_dtype))
                 chk = jnp.mean(lms) + 1e-20 * (jnp.sum(v[:, 0]) + jnp.sum(proj[:, 0]))
-                frames = frames.at[0, 0, 0, 0].add((chk * 1e-30).astype(frames.dtype))
-                return frames, acc + chk
+                # anti-CSE dependence through the TINY boxes tensor (value is
+                # +0 at runtime): carrying the 200 MB frames buffer instead
+                # made XLA copy it every iteration — a methodology artifact,
+                # not pipeline work
+                bx = bx.at[0, 0].add((chk * 1e-30).astype(bx.dtype))
+                return bx, acc + chk
 
-            _, acc = jax.lax.fori_loop(0, n_iters, body, (jnp.asarray(frames), jnp.zeros(())))
+            _, acc = jax.lax.fori_loop(0, n_iters, body, (boxes, jnp.zeros(())))
             return acc
 
         float(run_p(variables, flame, embedding, jax.random.PRNGKey(1), 1))

@@ -132,8 +132,11 @@ def export_predictor(
     from ..ops.preprocess_device import preprocess_frames_device
 
     def frames_core(weights_v, qp, frames, sizes, boxes):
+        # impl="xla": the artifact's batch/frame extents are SYMBOLIC and it
+        # must run on any backend; the Pallas kernel needs static shapes and
+        # a TPU (the live predictor uses it — api/predictor.py)
         imgs, scales, paddings = preprocess_frames_device(
-            frames, sizes, boxes, img_size, "imagenet", resize_mode
+            frames, sizes, boxes, img_size, "imagenet", resize_mode, impl="xla"
         )
         if quantized:
             out, _ = quantized_forward(

@@ -302,8 +302,12 @@ class FaceMeshPredictor:
         zero host resample work (the north-star serving pipeline)."""
         from ..ops.preprocess_device import preprocess_frames_device
 
+        # planar wire format (pack_frames_host(planar=True)) skips the
+        # on-device NHWC->planar relayout on the Pallas path
+        layout = "planar" if frames.ndim == 3 else "nhwc"
         images, scales, paddings = preprocess_frames_device(
-            frames, sizes, bboxes, img_size, "imagenet", resize_mode
+            frames, sizes, bboxes, img_size, "imagenet", resize_mode,
+            layout=layout,
         )
         out = FaceMeshPredictor._forward(
             model_def, variables, images, quantized, quant_amax, qparams
@@ -724,7 +728,7 @@ class FaceMeshPredictor:
             cb = bb[lo : lo + batch_size]
             count = len(chunk)
             buf, sizes, boxes = pack_frames_host(
-                chunk, cb, batch_size, bucket=frame_bucket
+                chunk, cb, batch_size, bucket=frame_bucket, planar=True
             )
             xb, xs, xbx = self._put(
                 (jnp.asarray(buf), jnp.asarray(sizes), jnp.asarray(boxes))

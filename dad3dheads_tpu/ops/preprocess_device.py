@@ -38,27 +38,40 @@ import jax.numpy as jnp
 from ..constants import IMAGENET_MEAN, IMAGENET_STD
 
 
-def pack_frames_host(frames, bboxes, batch_size: int, bucket: int = 64):
+def pack_frames_host(frames, bboxes, batch_size: int, bucket: int = 64, planar: bool = False):
     """Paste a chunk of variable-size uint8 frames into one padded device
     buffer — the ONLY host work in the device-preprocess serving path.
 
     Returns (buf (B, Hmax, Wmax, 3) uint8, sizes (B, 2) int32 [h, w],
     boxes (B, 4) int32); Hmax/Wmax round up to ``bucket`` to bound
     recompilation, and pad rows repeat the last frame so every row is a
-    valid image for the fixed compile shape."""
+    valid image for the fixed compile shape.
+
+    ``planar=True`` pastes channel-planar (B, Hmax, 3*Wmax) — the Pallas
+    kernel's wire format (``preprocess_frames_device(layout="planar")``):
+    the host memcpys the same bytes either way, and the device skips the
+    NHWC->planar relayout copy."""
     import numpy as np
 
     count = len(frames)
     assert 0 < count <= batch_size, (count, batch_size)
     hmax = ((max(f.shape[0] for f in frames) + bucket - 1) // bucket) * bucket
     wmax = ((max(f.shape[1] for f in frames) + bucket - 1) // bucket) * bucket
-    buf = np.zeros((batch_size, hmax, wmax, 3), np.uint8)
+    if planar:
+        buf = np.zeros((batch_size, hmax, 3 * wmax), np.uint8)
+    else:
+        buf = np.zeros((batch_size, hmax, wmax, 3), np.uint8)
     sizes = np.zeros((batch_size, 2), np.int32)
     boxes = np.zeros((batch_size, 4), np.int32)
     for j, f in enumerate(frames):
         if f.dtype != np.uint8:
             f = np.clip(np.round(f), 0, 255).astype(np.uint8)
-        buf[j, : f.shape[0], : f.shape[1]] = f
+        if planar:
+            h, w = f.shape[:2]
+            for c in range(3):
+                buf[j, :h, c * wmax : c * wmax + w] = f[:, :, c]
+        else:
+            buf[j, : f.shape[0], : f.shape[1]] = f
         sizes[j] = (f.shape[0], f.shape[1])
         boxes[j] = bboxes[j]
     for j in range(count, batch_size):
@@ -138,7 +151,8 @@ def _axis_weights(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("img_size", "normalize", "mode", "impl")
+    jax.jit,
+    static_argnames=("img_size", "normalize", "mode", "impl", "layout", "out_dtype"),
 )
 def preprocess_frames_device(
     frames_u8: jax.Array,
@@ -148,12 +162,17 @@ def preprocess_frames_device(
     normalize: str = "imagenet",
     mode: str = "longest_max_size",
     impl: str = "auto",
+    layout: str = "nhwc",
+    out_dtype=jnp.float32,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused device preprocess for a batch of padded full frames.
 
     Args:
       frames_u8: (B, Hmax, Wmax, 3) uint8; each frame occupies the top-left
-        (h, w) region, the rest is ignored.
+        (h, w) region, the rest is ignored. With ``layout="planar"``:
+        (B, Hmax, 3*Wmax) channel-planar — the serving wire format
+        ``pack_frames_host(planar=True)`` pastes at zero extra host cost,
+        which saves the on-device relayout copy on the Pallas path.
       sizes: (B, 2) int32 [h, w] true frame sizes.
       bboxes: (B, 4) int32 [x0, y0, x1, y1] crop windows (pass
         [0, 0, w, h] to preprocess the whole frame). Clamped in-graph to the
@@ -162,11 +181,16 @@ def preprocess_frames_device(
 
     Returns (images, scales, paddings) matching the host path
     (ops/preprocess.py preprocess_image_np on the cropped frame):
-      images: (B, img_size, img_size, 3) fp32, normalized;
+      images: (B, img_size, img_size, 3) ``out_dtype``, normalized;
       scales: (B, 2) fp32 [sx, sy] (equal for longest_max_size);
       paddings: (B, 4) int32 [top, bottom, left, right].
     """
-    B, Hmax, Wmax, C = frames_u8.shape
+    if layout == "planar":
+        B, Hmax, W3 = frames_u8.shape
+        assert W3 % 3 == 0, frames_u8.shape
+        Wmax = W3 // 3
+    else:
+        B, Hmax, Wmax, C = frames_u8.shape
     bboxes = bboxes.astype(jnp.int32)
     h = sizes[:, 0].astype(jnp.int32)
     w = sizes[:, 1].astype(jnp.int32)
@@ -205,6 +229,34 @@ def preprocess_frames_device(
     else:
         raise KeyError(f"unknown resize mode {mode!r}")
 
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl in ("pallas", "pallas_interpret"):
+        # the fused north-star kernel: uint8 read side, weights generated
+        # in-kernel from these ten scalars, banded split-bf16 MXU matmuls,
+        # VMEM-resident intermediate, normalize in the epilogue
+        from .preprocess_pallas import resample_normalize_pallas
+
+        scalars = jnp.stack(
+            [
+                y0, bh, new_h, pad_top,
+                x0, bw, new_w, pad_left,
+                use_area.astype(jnp.int32),
+                use_exact_area.astype(jnp.int32),
+            ],
+            axis=-1,
+        )
+        planar = (
+            frames_u8
+            if layout == "planar"
+            else jnp.transpose(frames_u8, (0, 1, 3, 2)).reshape(B, Hmax, 3 * Wmax)
+        )
+        out = resample_normalize_pallas(
+            planar, scalars, img_size, normalize,
+            out_dtype=out_dtype, interpret=(impl == "pallas_interpret"),
+        )
+        return jnp.transpose(out, (0, 2, 3, 1)), scales, paddings
+
     wy = jax.vmap(
         lambda *a: _axis_weights(Hmax, img_size, *a)
     )(y0, bh, new_h, pad_top, use_area, use_exact_area)  # (B, S, Hmax)
@@ -212,19 +264,11 @@ def preprocess_frames_device(
         lambda *a: _axis_weights(Wmax, img_size, *a)
     )(x0, bw, new_w, pad_left, use_area, use_exact_area)  # (B, S, Wmax)
 
-    if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if impl in ("pallas", "pallas_interpret"):
-        # the fused north-star kernel: uint8 read side, split-bf16 MXU
-        # matmuls, VMEM-resident intermediate, normalize in the epilogue
-        from .preprocess_pallas import resample_normalize_pallas
-
-        out = resample_normalize_pallas(
-            frames_u8, wy, wx, img_size, normalize,
-            interpret=(impl == "pallas_interpret"),
+    if layout == "planar":
+        # (B, Hmax, 3W) planar -> NHWC for the einsum reference path
+        frames_u8 = jnp.transpose(
+            frames_u8.reshape(B, Hmax, 3, Wmax), (0, 1, 3, 2)
         )
-        return out, scales, paddings
-
     x = frames_u8.astype(jnp.float32)
     # (B, S, Hmax) x (B, Hmax, Wmax, C) -> (B, S, Wmax, C), then over W
     out = jnp.einsum("byh,bhwc->bywc", wy, x, precision=jax.lax.Precision.HIGHEST)
@@ -240,4 +284,4 @@ def preprocess_frames_device(
         pass  # raw 0..255 resampled values (host-path "none" keeps uint8)
     else:
         raise KeyError(f"unknown normalize mode {normalize!r}")
-    return out, scales, paddings
+    return out.astype(out_dtype), scales, paddings

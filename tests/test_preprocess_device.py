@@ -140,3 +140,20 @@ def test_pallas_kernel_identity_crop_exact(rng):
         frames, sizes, bboxes, img_size=S, impl="pallas_interpret"
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_pallas_chunked_tall_frames_match_xla(rng):
+    """Frames taller than 512 take the CHUNKED kernel (row chunks accumulate
+    in a VMEM scratch; non-overlapping chunks skip); parity with the XLA path
+    and with the single-pass kernel's tolerances."""
+    frames, sizes, bboxes = _random_frames(rng, 2, 600, 96)
+    frames = np.concatenate([frames, frames[:, :40]], axis=1)  # Hmax=640
+    ref, s1, p1 = preprocess_frames_device(
+        frames, sizes, bboxes, img_size=S, impl="xla"
+    )
+    out, s2, p2 = preprocess_frames_device(
+        frames, sizes, bboxes, img_size=S, impl="pallas_interpret"
+    )
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 1e-3
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
