@@ -38,7 +38,12 @@ def _resize_nearest(x: jax.Array, hw) -> jax.Array:
     2x downsampling lowers to a strided slice (near-free). Upsampling runs as
     two small replication-matrix matmuls on the MXU — measured 3x faster than
     the broadcast+reshape lowering (which materializes the expanded tensor in
-    an unfused pass) and exact, since the matrices are 0/1."""
+    an unfused pass) and exact, since the matrices are 0/1. A Pallas
+    copy-kernel variant (pure data movement, no MXU) was built and measured:
+    the calls themselves are cheap, but the custom call's row-major operand
+    layout propagates backward through XLA layout assignment into the whole
+    conv pipeline — e2e regressed 5,212 -> 3,474 img/s bf16 (and 6,978 ->
+    3,727 int8), so the einsum lowering stays."""
     B, H, W, C = x.shape
     h, w = hw
     if (H, W) == (h, w):

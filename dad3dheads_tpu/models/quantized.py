@@ -216,9 +216,12 @@ def _resize_q(x, hw):
     if H == 2 * h and W == 2 * w:
         return QTensor(x.values[:, ::2, ::2], x.scale)
     # upsample: int8 gathers measured 10.7 ms/iter across the pyramid and the
-    # broadcast+reshape lowering stalls Mosaic — dequantize and ride the
+    # XLA broadcast+reshape lowering stalls Mosaic — dequantize and ride the
     # bf16 replication-matmul path (0/1 matrices, exact); the consumer fuses
-    # the dense result into its fusion pass
+    # the dense result into its fusion pass. A Pallas int8 copy-kernel was
+    # measured here too: its row-major operand layout requirement propagates
+    # through layout assignment into every conv (int8 e2e 6,978 -> 3,727
+    # img/s), so the dequant+einsum path stays.
     return _resize_nearest(dequantize(x, jnp.bfloat16), hw)
 
 
@@ -342,7 +345,11 @@ def _fusion_forward(ctx: _Ctx, variables, tap, heatmap, p2):
         "fusion",
         q_out=False,
     )
-    return (y.astype(jnp.float32) * tap.astype(jnp.float32)).astype(ctx.dtype)
+    # gating multiply in ctx.dtype, mirroring the flax FusionLayer epilogue
+    # (dad3dnet.py:94 computes `fmap * x` in module dtype) — measured
+    # throughput-neutral vs an fp32 multiply (XLA fuses the dequants either
+    # way), kept for numerics parity with the bf16 model
+    return y * tap
 
 
 def quantized_forward(

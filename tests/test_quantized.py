@@ -122,8 +122,9 @@ def test_prepared_qparams_match_inline(fp_model):
     model, v, x = fp_model
     amax = calibrate(model, v, [x], dtype=jnp.float32)
     qp = prepare_int8_params(model, v, dtype=jnp.float32, img_size=64)
-    # every conv site collected: 53 resnet + 21 bifpn + heatmap head = 75
-    assert len(qp) == 75
+    # every conv site collected: 53 resnet + 21 bifpn + heatmap head +
+    # fusion conv = 76
+    assert len(qp) == 76
     inline, _ = jax.jit(
         lambda v, x, a: quantized_forward(model, v, x, amax=a, mode="int8", dtype=jnp.float32)
     )(v, x, amax)
