@@ -35,8 +35,11 @@ from __future__ import annotations
 
 import functools
 import json
+import logging
 from collections import defaultdict
 from typing import Any, Dict, List, Optional, Tuple
+
+logger = logging.getLogger(__name__)
 
 import jax
 import jax.numpy as jnp
@@ -473,8 +476,22 @@ class DADEvaluator:
         if batched and anns:
             try:
                 per_sample = self.score_batched(anns, preds, chunk=chunk)
-            except ValueError:
-                per_sample = None  # ragged shapes -> per-sample oracle path
+            except ValueError as e:
+                # Ragged vertex counts: fall back to the (bit-identical but
+                # one-dispatch-per-item) oracle path. Loud, because on a
+                # full-size submission this is a ~1000x dispatch regression.
+                sizes = sorted(
+                    {np.asarray(p["N_landmarks_3d"], np.float32).size // 3 for p in preds}
+                )
+                logger.warning(
+                    "score_batched could not stack the submission (%s); "
+                    "vertex counts present: %s. Falling back to the per-sample "
+                    "oracle scorer (%d items, one dispatch each).",
+                    e,
+                    sizes,
+                    len(anns),
+                )
+                per_sample = None
         if per_sample is None:
             metric_funcs = {
                 "pose_error": self.pose_error,

@@ -290,15 +290,46 @@ def collate(samples: List[Optional[Dict[str, Any]]]) -> Dict[str, Any]:
     return out
 
 
-class DataLoader:
-    """Threaded prefetching loader producing numpy batches.
+def _process_worker(dataset, batches, out_q, prefetch_sem):
+    """Loader worker-PROCESS main: compute + collate assigned batches in
+    order, publish (or relay the first exception), then a None sentinel.
+    ``prefetch_sem`` bounds how many finished batches may sit unconsumed in
+    the pipe (queue.put returns before the consumer reads, so the queue's
+    own maxsize cannot provide backpressure across processes)."""
+    try:
+        for b in batches:
+            prefetch_sem.acquire()
+            out_q.put(collate([dataset[i] for i in b]))
+    except BaseException as e:  # noqa: BLE001 — relayed to the consumer
+        try:
+            out_q.put(e)
+        except Exception:
+            out_q.put(RuntimeError(f"loader worker failed: {e!r}"))
+    finally:
+        out_q.put(None)
 
-    The reference delegates to torch DataLoader worker processes; here the
-    per-item Python work is light once the sidecar mesh cache is warm
-    (measured 2.5 ms/item), so a thread pool + bounded prefetch queue keeps
-    the device fed without process-spawn/IPC overhead — a spawn-based
-    ProcessPoolExecutor variant was measured strictly slower on this host
-    (301 vs 410 img/s warm, 18 vs 77 cold) and rejected.
+
+class DataLoader:
+    """Prefetching loader producing numpy batches, with thread OR process
+    workers (``worker_mode``).
+
+    The reference delegates to torch DataLoader worker *processes*
+    (flame_dataset.py usage: ``num_workers`` in the Lightning config); both
+    modes are provided here because which wins is a host property:
+
+    - ``"thread"`` (default): zero IPC — best when per-item Python work is
+      light (2.3 ms/item with device heatmaps) and cores are scarce. Thread
+      count is clamped to the CPU count: the GIL serializes the numpy-light
+      sections, so surplus threads only add contention (measured on a 1-core
+      host: 8 threads 300 img/s vs 1 thread 438 img/s — the r04 anomaly).
+    - ``"process"``: PERSISTENT forked workers (not the per-epoch spawn pool
+      measured and rejected in r03 — that paid re-import + per-item pickle).
+      Batches are statically assigned round-robin, each worker collates its
+      batch and ships ONE pickled numpy dict per batch through a pipe;
+      the parent polls workers in assignment order, so batch order (and
+      therefore every sample's (seed, idx) jitter stream) is identical to
+      thread mode. True multi-core scaling for the decode+projection work;
+      per-batch IPC is a memcpy-rate unpickle on the consumer side.
 
     Multi-host: pass ``process_index``/``process_count`` (defaults: JAX's) and
     the SAME ``seed`` on every host. Each epoch every process draws the same
@@ -322,7 +353,11 @@ class DataLoader:
         drop_last: bool = True,
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
+        worker_mode: str = "thread",
+        mp_context: str = "fork",
     ):
+        if worker_mode not in ("thread", "process"):
+            raise ValueError(f"worker_mode must be 'thread' or 'process', got {worker_mode!r}")
         if process_index is None or process_count is None:
             import jax
 
@@ -339,6 +374,12 @@ class DataLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.shuffle = shuffle
+        self.worker_mode = worker_mode
+        self.mp_context = mp_context
+        if worker_mode == "thread":
+            # surplus GIL-bound threads only contend (r04: 8 threads slower
+            # than 1 on a 1-core host); processes scale past the GIL
+            num_workers = min(num_workers, os.cpu_count() or num_workers)
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.drop_last = drop_last
@@ -374,6 +415,10 @@ class DataLoader:
         ]
         if self.drop_last:
             batches = [b for b in batches if len(b) == bs]
+
+        if self.worker_mode == "process":
+            yield from self._iter_processes(batches)
+            return
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -423,3 +468,54 @@ class DataLoader:
                 yield batch
         finally:
             stop.set()
+
+    def _iter_processes(self, batches) -> Iterator[Dict[str, Any]]:
+        """Persistent fork-worker pipeline: worker w owns batches[w::W] (in
+        order), so the parent reading worker (i % W) for batch i preserves
+        the exact thread-mode batch order. A per-worker semaphore bounds
+        in-flight finished batches to ``prefetch`` (backpressure across the
+        process boundary)."""
+        import multiprocessing as mp
+
+        if not batches:
+            return
+        ctx = mp.get_context(self.mp_context)
+        n_w = min(self.num_workers, len(batches))
+        queues, sems, procs = [], [], []
+        try:
+            for w in range(n_w):
+                q = ctx.Queue()
+                sem = ctx.Semaphore(max(1, self.prefetch))
+                p = ctx.Process(
+                    target=_process_worker,
+                    args=(self.dataset, batches[w::n_w], q, sem),
+                    daemon=True,
+                )
+                p.start()
+                queues.append(q)
+                sems.append(sem)
+                procs.append(p)
+            for i in range(len(batches)):
+                w = i % n_w
+                while True:
+                    try:
+                        batch = queues[w].get(timeout=5.0)
+                        break
+                    except queue.Empty:
+                        if not procs[w].is_alive():
+                            raise RuntimeError(
+                                f"loader worker {w} died (exit code "
+                                f"{procs[w].exitcode}) without relaying an error"
+                            ) from None
+                if batch is None:
+                    raise RuntimeError(f"loader worker {w} ended early")
+                if isinstance(batch, BaseException):
+                    raise batch
+                sems[w].release()
+                yield batch
+        finally:
+            for p in procs:
+                if p.is_alive():
+                    p.terminate()
+            for p in procs:
+                p.join(timeout=5.0)

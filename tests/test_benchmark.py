@@ -225,3 +225,32 @@ def test_batched_evaluator_dispatch_count(tmp_path, rng, monkeypatch):
     overall, _ = DADEvaluator(gt_path, sub_path)(batched=True, chunk=4)
     assert calls["n"] == 1
     assert all(np.isfinite(v) for v in overall.values())
+
+
+def test_ragged_submission_falls_back_loudly_and_matches_oracle(tmp_path, rng, caplog):
+    """A submission with ragged vertex counts cannot be stacked: the
+    evaluator must (a) WARN — on a full-size submission the fallback is a
+    ~1000x dispatch regression the operator should see — and (b) produce
+    results equal to the per-sample oracle path."""
+    import logging
+
+    gt_path, sub_path = _make_noisy_submission(tmp_path, rng, n=3)
+    with open(sub_path) as f:
+        sub = json.load(f)
+    # one item carries 10 extra (duplicated) mesh vertices: still valid for
+    # every metric (zn/chamfer index/reduce over the FLAME-topology prefix),
+    # but np.stack over the submission is now ragged
+    extra = np.asarray(sub["item1"]["N_landmarks_3d"], np.float32)[:10]
+    sub["item1"]["N_landmarks_3d"] = np.concatenate(
+        [np.asarray(sub["item1"]["N_landmarks_3d"], np.float32), extra]
+    ).tolist()
+    with open(sub_path, "w") as f:
+        json.dump(sub, f)
+
+    ev = DADEvaluator(gt_path, sub_path)
+    with caplog.at_level(logging.WARNING, logger="dad3dheads_tpu.benchmark_harness.evaluate"):
+        fast_overall, _ = ev(batched=True, chunk=2)
+    assert any("per-sample oracle" in r.message for r in caplog.records)
+    slow_overall, _ = ev(batched=False)
+    for k in slow_overall:
+        np.testing.assert_array_equal(fast_overall[k], slow_overall[k], err_msg=k)

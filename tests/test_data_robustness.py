@@ -169,3 +169,60 @@ def test_device_heatmap_encoder_matches_host_coder(rng):
         )
     )[0]
     np.testing.assert_array_equal(dev, host)  # both (K, S, S)
+
+
+class _ArithDS:
+    """Module-level (picklable) deterministic dataset for process-mode tests."""
+
+    def __len__(self):
+        return 12
+
+    def __getitem__(self, i):
+        if i == 999:  # never hit; keeps the class generic
+            raise RuntimeError("unreachable")
+        return {"i": np.asarray([i]), "x": np.full((3,), float(i), np.float32)}
+
+
+class _ExplodingArithDS(_ArithDS):
+    def __getitem__(self, i):
+        if i >= 6:
+            raise RuntimeError(f"boom at sample {i}")
+        return super().__getitem__(i)
+
+
+def test_process_loader_matches_thread_loader():
+    """worker_mode='process' (persistent fork workers, batch-level IPC) must
+    yield byte-identical batches in the same order as thread mode — the
+    assignment is round-robin by batch ordinal and each worker walks its
+    slice in order."""
+    kw = dict(batch_size=3, shuffle=False, drop_last=True)
+    ref = list(DataLoader(_ArithDS(), num_workers=2, **kw))
+    for n_w in (1, 2, 3):
+        got = list(DataLoader(_ArithDS(), num_workers=n_w, worker_mode="process", **kw))
+        assert len(got) == len(ref)
+        for a, b in zip(got, ref):
+            assert set(a) == set(b)
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_process_loader_relays_worker_exceptions():
+    dl = DataLoader(
+        _ExplodingArithDS(), batch_size=3, shuffle=False, num_workers=2,
+        worker_mode="process",
+    )
+    with pytest.raises(RuntimeError, match="boom at sample"):
+        list(dl)
+
+
+def test_process_loader_shuffle_reproducible():
+    """Same seed -> same shuffled order in both worker modes."""
+    a = list(DataLoader(_ArithDS(), batch_size=3, shuffle=True, seed=7, num_workers=1))
+    b = list(
+        DataLoader(
+            _ArithDS(), batch_size=3, shuffle=True, seed=7, num_workers=2,
+            worker_mode="process",
+        )
+    )
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["i"], y["i"])

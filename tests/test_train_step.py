@@ -106,9 +106,12 @@ def test_train_step_sharded_over_mesh(setup):
     assert p.sharding.is_fully_replicated
 
 
-def test_graft_entry_dryrun():
+def test_graft_entry_dryrun(monkeypatch):
+    """Runs the FULL model-axis matrix {1,2,4}: the driver's budgeted default
+    covers one representative mesh; the matrix coverage lives here."""
     import __graft_entry__
 
+    monkeypatch.setenv("DAD3D_MULTICHIP_FULL", "1")
     __graft_entry__.dryrun_multichip(8)
 
 
