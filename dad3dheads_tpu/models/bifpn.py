@@ -35,26 +35,46 @@ def _resize_nearest(x: jax.Array, hw) -> jax.Array:
     """Nearest-neighbor resize matching torch F.interpolate(mode='nearest'):
     src_idx = floor(dst_idx * src/dst).
 
-    2x downsampling lowers to a strided slice (near-free). Upsampling runs as
-    two small replication-matrix matmuls on the MXU — measured 3x faster than
-    the broadcast+reshape lowering (which materializes the expanded tensor in
-    an unfused pass) and exact, since the matrices are 0/1. A Pallas
-    copy-kernel variant (pure data movement, no MXU) was built and measured:
-    the calls themselves are cheap, but the custom call's row-major operand
-    layout propagates backward through XLA layout assignment into the whole
-    conv pipeline — e2e regressed 5,212 -> 3,474 img/s bf16 (and 6,978 ->
-    3,727 int8), so the einsum lowering stays."""
+    2x downsampling lowers to a strided slice (near-free). 2x UPsampling runs
+    as a depthwise TRANSPOSED conv (lhs_dilation=2, 2x2 ones kernel, pad 1):
+    each output pixel covers exactly one nonzero dilated input, so it is
+    exact, and XLA's conv emitter streams it without materializing the
+    replication intermediates — measured v5e e2e bf16 5,468 img/s vs 5,213
+    for the prior two-step replication-matrix einsum, 4,901 for
+    broadcast+reshape, 4,361 for constant-index gather (all four lowerings
+    produce identical values; BENCH_REPS=3 medians, 2026-08). A Pallas
+    copy-kernel variant was also built and measured in r04: the custom
+    call's row-major operand layout propagates backward through XLA layout
+    assignment into the whole conv pipeline — e2e regressed to 3,474 img/s
+    (int8 6,978 -> 3,727), so no Pallas here.
+
+    ``DAD3D_UPSAMPLE_IMPL`` switches the lowering (convt | einsum | gather |
+    broadcast) so the A/B above stays reproducible on future hardware."""
+    import os
+
     B, H, W, C = x.shape
     h, w = hw
     if (H, W) == (h, w):
         return x
     if H == 2 * h and W == 2 * w:
         return x[:, ::2, ::2]
-    if h % H == 0 and w % W == 0:
+    impl = os.environ.get("DAD3D_UPSAMPLE_IMPL", "convt")
+    if h == 2 * H and w == 2 * W and impl == "convt":
+        k = jnp.ones((2, 2, 1, C), x.dtype)
+        return jax.lax.conv_general_dilated(
+            x, k, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            lhs_dilation=(2, 2), feature_group_count=C,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    if h % H == 0 and w % W == 0 and impl in ("einsum", "convt"):
         e_h = _replication_matrix(h, H, x.dtype)
         e_w = _replication_matrix(w, W, x.dtype)
         y = jnp.einsum("Hh,bhwc->bHwc", e_h, x)
         return jnp.einsum("Ww,bhwc->bhWc", e_w, y)
+    if h % H == 0 and w % W == 0 and impl == "broadcast":
+        fh, fw = h // H, w // W
+        y = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, fh, W, fw, C))
+        return y.reshape(B, h, w, C)
     rows = (jnp.arange(h) * (H / h)).astype(jnp.int32)
     cols = (jnp.arange(w) * (W / w)).astype(jnp.int32)
     return x[:, rows][:, :, cols]

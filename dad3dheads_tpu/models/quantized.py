@@ -217,11 +217,12 @@ def _resize_q(x, hw):
         return QTensor(x.values[:, ::2, ::2], x.scale)
     # upsample: int8 gathers measured 10.7 ms/iter across the pyramid and the
     # XLA broadcast+reshape lowering stalls Mosaic — dequantize and ride the
-    # bf16 replication-matmul path (0/1 matrices, exact); the consumer fuses
-    # the dense result into its fusion pass. A Pallas int8 copy-kernel was
-    # measured here too: its row-major operand layout requirement propagates
-    # through layout assignment into every conv (int8 e2e 6,978 -> 3,727
-    # img/s), so the dequant+einsum path stays.
+    # bf16 nearest-upsample path (bifpn._resize_nearest: depthwise transposed
+    # conv, exact; switching it from the replication einsum took int8 e2e
+    # 6,845 -> 8,288 img/s — the upsample WAS the int8 blocker, r04 weak #3).
+    # A Pallas int8 copy-kernel was measured here too: its row-major operand
+    # layout requirement propagates through layout assignment into every conv
+    # (int8 e2e 6,978 -> 3,727 img/s), so no Pallas here.
     return _resize_nearest(dequantize(x, jnp.bfloat16), hw)
 
 

@@ -38,7 +38,10 @@ import jax.numpy as jnp
 from ..constants import IMAGENET_MEAN, IMAGENET_STD
 
 
-def pack_frames_host(frames, bboxes, batch_size: int, bucket: int = 64, planar: bool = False):
+def pack_frames_host(
+    frames, bboxes, batch_size: int, bucket: int = 64, planar: bool = False,
+    fixed_shape=None,
+):
     """Paste a chunk of variable-size uint8 frames into one padded device
     buffer — the ONLY host work in the device-preprocess serving path.
 
@@ -50,13 +53,22 @@ def pack_frames_host(frames, bboxes, batch_size: int, bucket: int = 64, planar: 
     ``planar=True`` pastes channel-planar (B, Hmax, 3*Wmax) — the Pallas
     kernel's wire format (``preprocess_frames_device(layout="planar")``):
     the host memcpys the same bytes either way, and the device skips the
-    NHWC->planar relayout copy."""
+    NHWC->planar relayout copy.
+
+    ``fixed_shape=(H, W)`` pins the buffer extents instead of the bucketed
+    max (every frame must fit) — used to hit a statically-shaped exported
+    program (api/export.py TPU-specialized frames entry) exactly."""
     import numpy as np
 
     count = len(frames)
     assert 0 < count <= batch_size, (count, batch_size)
-    hmax = ((max(f.shape[0] for f in frames) + bucket - 1) // bucket) * bucket
-    wmax = ((max(f.shape[1] for f in frames) + bucket - 1) // bucket) * bucket
+    if fixed_shape is not None:
+        hmax, wmax = int(fixed_shape[0]), int(fixed_shape[1])
+        bad = [f.shape[:2] for f in frames if f.shape[0] > hmax or f.shape[1] > wmax]
+        assert not bad, f"frames {bad} exceed fixed_shape {(hmax, wmax)}"
+    else:
+        hmax = ((max(f.shape[0] for f in frames) + bucket - 1) // bucket) * bucket
+        wmax = ((max(f.shape[1] for f in frames) + bucket - 1) // bucket) * bucket
     if planar:
         buf = np.zeros((batch_size, hmax, 3 * wmax), np.uint8)
     else:

@@ -91,6 +91,13 @@ def normalize_images(images_u8: jax.Array, normalize: str = "imagenet") -> jax.A
 #     w_hi + w_lo (two bf16 numbers), giving ~2^-16 relative error — fp32
 #     quality at bf16 MXU rates (2 passes for the first matmul, 3 for the
 #     second, vs 6 each for a HIGHEST-precision fp32 matmul);
+#   - when the CONSUMER is bf16 (out_dtype=bfloat16 — the CNN's input dtype
+#     on the serving path), the lo-correction passes are dropped entirely:
+#     resample weights are convex per output pixel (rows sum to 1), so
+#     bf16-rounded weights give ~3*2^-9 relative output error, at or below
+#     the bf16 OUTPUT's own ULP (2^-8) — invisible downstream, and the MXU
+#     work falls from 5 dots to 2 (measured: the preproc-inclusive e2e gate
+#     for the 5,000 img/s north star);
 #   - the row matmul is BANDED on downscale: a KH-row source chunk can only
 #     influence ~KH/f (+ taps) output rows, so the chunk contracts into a
 #     BAND-row dynamic slice of the accumulator instead of all S rows, and
@@ -175,7 +182,9 @@ def _gen_weights(
     return jnp.where(valid, w, 0.0)
 
 
-def _resample_kernel(S: int, W: int, KH: int, scale: tuple, bias: tuple, out_dtype):
+def _resample_kernel(
+    S: int, W: int, KH: int, scale: tuple, bias: tuple, out_dtype, fast: bool
+):
     f32 = jnp.float32
     # per-image mode branch: only the selected cv2 scheme's weight-gen VPU
     # work (and dots) execute; the other branches are predicated off
@@ -212,10 +221,15 @@ def _resample_kernel(S: int, W: int, KH: int, scale: tuple, bias: tuple, out_dty
                 # uint8 -> bf16 (exact for 0..255) via Mosaic's int32 hop
                 x = frame_ref[0].astype(jnp.int32).astype(jnp.bfloat16)
                 wy = _gen_weights(mode, S, KH, 0, src0, y0, bh, new_h, pad_t)
-                wy_hi, wy_lo = _hilo(wy)
-                acc_ref[:] += jnp.dot(
-                    wy_hi, x, preferred_element_type=f32
-                ) + jnp.dot(wy_lo, x, preferred_element_type=f32)
+                if fast:
+                    acc_ref[:] += jnp.dot(
+                        wy.astype(jnp.bfloat16), x, preferred_element_type=f32
+                    )
+                else:
+                    wy_hi, wy_lo = _hilo(wy)
+                    acc_ref[:] += jnp.dot(
+                        wy_hi, x, preferred_element_type=f32
+                    ) + jnp.dot(wy_lo, x, preferred_element_type=f32)
 
         @pl.when(k == nk - 1)
         def _finish():
@@ -226,24 +240,30 @@ def _resample_kernel(S: int, W: int, KH: int, scale: tuple, bias: tuple, out_dty
                     wx_ref[:] = _gen_weights(mode, S, W, 0, 0, x0, bw, new_w, pad_l)
 
             tmp = acc_ref[:]
-            wx_hi, wx_lo = _hilo(wx_ref[:])
 
             def dg(a, b):  # contract the shared W axis: (S, W) x (S, W) -> (S, S)
                 return jax.lax.dot_general(
                     a, b, (((1,), (1,)), ((), ())), preferred_element_type=f32
                 )
 
+            if fast:
+                wx_b = wx_ref[:].astype(jnp.bfloat16)
+            else:
+                wx_hi, wx_lo = _hilo(wx_ref[:])
             for c in range(3):  # static unroll over channel-planar lane slices
                 t = tmp[:, c * W : (c + 1) * W]
-                t_hi, t_lo = _hilo(t)
-                o = dg(t_hi, wx_hi) + dg(t_lo, wx_hi) + dg(t_hi, wx_lo)
+                if fast:
+                    o = dg(t.astype(jnp.bfloat16), wx_b)
+                else:
+                    t_hi, t_lo = _hilo(t)
+                    o = dg(t_hi, wx_hi) + dg(t_lo, wx_hi) + dg(t_hi, wx_lo)
                 out_ref[0, c] = (o * scale[c] + bias[c]).astype(out_dtype)
 
     return kernel
 
 
 def _resample_kernel_single(
-    S: int, W: int, Hmax: int, scale: tuple, bias: tuple, out_dtype
+    S: int, W: int, Hmax: int, scale: tuple, bias: tuple, out_dtype, fast: bool
 ):
     """Whole-frame variant (grid (B,), frame fits VMEM): no accumulator
     scratch, no zero-init, no read-modify-write — each mode branch runs the
@@ -276,23 +296,33 @@ def _resample_kernel_single(
                 # uint8 -> bf16 (exact for 0..255) via Mosaic's int32 hop
                 x = frame_ref[0].astype(jnp.int32).astype(jnp.bfloat16)
                 wy = _gen_weights(mode, S, Hmax, 0, 0, y0, bh, new_h, pad_t)
-                wy_hi, wy_lo = _hilo(wy)
-                tmp = jnp.dot(wy_hi, x, preferred_element_type=f32) + jnp.dot(
-                    wy_lo, x, preferred_element_type=f32
-                )
                 wx = _gen_weights(mode, S, W, 0, 0, x0, bw, new_w, pad_l)
-                wx_hi, wx_lo = _hilo(wx)
+                if fast:
+                    tmp = jnp.dot(
+                        wy.astype(jnp.bfloat16), x, preferred_element_type=f32
+                    )
+                    wx_b = wx.astype(jnp.bfloat16)
+                else:
+                    wy_hi, wy_lo = _hilo(wy)
+                    tmp = jnp.dot(wy_hi, x, preferred_element_type=f32) + jnp.dot(
+                        wy_lo, x, preferred_element_type=f32
+                    )
+                    wx_hi, wx_lo = _hilo(wx)
                 for c in range(3):  # static unroll over planar lane slices
                     t = tmp[:, c * W : (c + 1) * W]
-                    t_hi, t_lo = _hilo(t)
-                    o = dg(t_hi, wx_hi) + dg(t_lo, wx_hi) + dg(t_hi, wx_lo)
+                    if fast:
+                        o = dg(t.astype(jnp.bfloat16), wx_b)
+                    else:
+                        t_hi, t_lo = _hilo(t)
+                        o = dg(t_hi, wx_hi) + dg(t_lo, wx_hi) + dg(t_hi, wx_lo)
                     out_ref[0, c] = (o * scale[c] + bias[c]).astype(out_dtype)
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("img_size", "normalize", "out_dtype", "interpret")
+    jax.jit,
+    static_argnames=("img_size", "normalize", "out_dtype", "interpret", "weights"),
 )
 def resample_normalize_pallas(
     frames_planar: jax.Array,
@@ -301,6 +331,7 @@ def resample_normalize_pallas(
     normalize: str = "imagenet",
     out_dtype=jnp.float32,
     interpret: bool = False,
+    weights: str = "auto",
 ) -> jax.Array:
     """(B, Hmax, 3*Wmax) channel-planar uint8 frames + per-image scalars
     (B, 10) int32 [y0, bh, new_h, pad_top, x0, bw, new_w, pad_left,
@@ -310,7 +341,13 @@ def resample_normalize_pallas(
     (BASELINE.json; reference host chain predictor.py:195-203); the caller
     (ops/preprocess_device.py) computes the scalar table with the exact cv2
     rounding semantics. NCHW-planar output — the caller transposes to NHWC
-    (or feeds a planar-aware consumer)."""
+    (or feeds a planar-aware consumer).
+
+    ``weights``: "split" = hi+lo bf16 weight decomposition (~2^-16 relative,
+    fp32 quality — 5 MXU passes); "bf16" = single-rounded bf16 weights
+    (~3*2^-9 relative — 2 MXU passes, 2.3x less preproc MXU time); "auto" =
+    "bf16" when ``out_dtype`` is bfloat16 (the error is below the OUTPUT
+    dtype's ULP, so the cheap path is exactly as good), else "split"."""
     B, Hmax, W3 = frames_planar.shape
     assert W3 % 3 == 0, frames_planar.shape
     Wmax = W3 // 3
@@ -329,11 +366,17 @@ def resample_normalize_pallas(
     else:
         raise KeyError(f"unknown normalize mode {normalize!r}")
 
+    if weights not in ("auto", "split", "bf16"):
+        raise KeyError(f"unknown weights mode {weights!r}")
+    fast = weights == "bf16" or (
+        weights == "auto" and jnp.dtype(out_dtype) == jnp.dtype(jnp.bfloat16)
+    )
+
     if Hmax <= 512:
         # whole frame fits VMEM (<= 768 KB uint8): scratch-free single-pass
         # kernel, grid over images only
         return pl.pallas_call(
-            _resample_kernel_single(S, Wmax, Hmax, scale, bias, out_dtype),
+            _resample_kernel_single(S, Wmax, Hmax, scale, bias, out_dtype, fast),
             out_shape=jax.ShapeDtypeStruct((B, 3, S, S), out_dtype),
             grid=(B,),
             in_specs=[
@@ -355,7 +398,7 @@ def resample_normalize_pallas(
     KH = 128 if Hmax % 128 == 0 else (64 if Hmax % 64 == 0 else Hmax)
     grid = (B, Hmax // KH)
     return pl.pallas_call(
-        _resample_kernel(S, Wmax, KH, scale, bias, out_dtype),
+        _resample_kernel(S, Wmax, KH, scale, bias, out_dtype, fast),
         out_shape=jax.ShapeDtypeStruct((B, 3, S, S), out_dtype),
         grid=grid,
         in_specs=[

@@ -142,6 +142,30 @@ def test_pallas_kernel_identity_crop_exact(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
+def test_pallas_bf16_fast_weights_close_to_split(rng):
+    """out_dtype=bfloat16 auto-selects single-rounded bf16 resample weights
+    (2 MXU passes instead of 5 — the preproc-inclusive north-star gate). The
+    weights are convex per output pixel, so the error is ~3*2^-9 relative to
+    the pre-normalize pixel value — at most 4.4/0.225sigma * 3*2^-9 ~ 0.026
+    in post-normalize units, i.e. ~1-2 ULP of the bf16 OUTPUT itself
+    (ULP(4.4) = 2^-8*4 ~ 0.016) — invisible to the bf16-input CNN."""
+    import jax.numpy as jnp
+
+    frames, sizes, bboxes = _random_frames(rng, 4, 96, 120)
+    for mode in ("longest_max_size", "resize"):
+        ref, s1, p1 = preprocess_frames_device(
+            frames, sizes, bboxes, img_size=S, mode=mode, impl="pallas_interpret"
+        )
+        out, s2, p2 = preprocess_frames_device(
+            frames, sizes, bboxes, img_size=S, mode=mode,
+            impl="pallas_interpret", out_dtype=jnp.bfloat16,
+        )
+        diff = np.abs(np.asarray(out, np.float32) - np.asarray(ref))
+        assert diff.max() < 3e-2, (mode, diff.max())
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
 def test_pallas_chunked_tall_frames_match_xla(rng):
     """Frames taller than 512 take the CHUNKED kernel (row chunks accumulate
     in a VMEM scratch; non-overlapping chunks skip); parity with the XLA path
@@ -157,3 +181,12 @@ def test_pallas_chunked_tall_frames_match_xla(rng):
     assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 1e-3
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+    # the chunked kernel's bf16 fast-weight path (same bound as single-pass)
+    import jax.numpy as jnp
+
+    fast, _, _ = preprocess_frames_device(
+        frames, sizes, bboxes, img_size=S, impl="pallas_interpret",
+        out_dtype=jnp.bfloat16,
+    )
+    assert np.abs(np.asarray(fast, np.float32) - np.asarray(ref)).max() < 3e-2
