@@ -36,7 +36,10 @@ from ..core.flame import FlameModel
 # (bbox crop + resize + normalize, ops/preprocess_device.py) + forward +
 # decode from raw uint8 frames, with symbolic batch AND frame dimensions.
 # v2 artifacts still load (predict_frames then raises with a re-export hint).
-_FORMAT_VERSION = 3
+# v4: optional TPU-specialized per-bucket frames programs (fused Pallas
+# preprocess, static shapes); artifacts without them still stamp v3 so v3
+# loaders keep reading them.
+_FORMAT_VERSION = 4
 
 
 def _strip_folded_leaves(variables):
@@ -96,9 +99,10 @@ def export_predictor(
     bf16 fast path — ops/preprocess_pallas.py) instead of the portable XLA
     resample. Pallas needs static shapes, so these programs are per-bucket;
     the portable symbolic-shape ``stablehlo_frames`` program remains the
-    fallback for every other shape/backend. Measured on v5e the Pallas path
-    serves ~5,070 img/s preproc-inclusive vs ~4,460 for the XLA resample
-    (bench.py BENCH_PREPROC, batch 256, 512^2 frames).
+    fallback for every other shape/backend. Measured from the ARTIFACT on
+    v5e (tools/bench_export_frames.py, batch 256, 512^2 frames, device-loop
+    methodology): TPU bucket program 5,386.9 img/s vs 5,090.1 for the
+    portable XLA-resample program (+5.8%).
     ``tpu_interpret`` lowers those programs with the interpret-mode kernel
     for the CURRENT platform instead of TPU — slow, for CI parity tests.
     """
@@ -203,8 +207,46 @@ def export_predictor(
         *frames_full_args
     )
 
+    # TPU-specialized per-bucket frames programs: fused Pallas preprocess
+    # (planar wire format, bf16 fast weights) — measured from the artifact
+    # on v5e: 5,386.9 img/s vs 5,090.1 for the portable program (docstring)
+    tpu_frames_specs = [tuple(int(v) for v in s) for s in (tpu_frames_specs or ())]
+    exp_frames_tpu = []
+    tpu_impl = "pallas_interpret" if tpu_interpret else "pallas"
+    tpu_platforms = None if tpu_interpret else ("tpu",)
+    for tb, th, tw in tpu_frames_specs:
+        if quantized:
+            def frames_tpu_fn(weights, qleaves, frames, sizes, boxes):
+                v = jax.tree_util.tree_unflatten(w_def, weights)
+                qp = jax.tree_util.tree_unflatten(q_def, qleaves)
+                return frames_core(
+                    v, qp, frames, sizes, boxes,
+                    impl=tpu_impl, layout="planar", out_dtype=model.dtype,
+                )
+        else:
+            def frames_tpu_fn(weights, frames, sizes, boxes):
+                v = jax.tree_util.tree_unflatten(w_def, weights)
+                return frames_core(
+                    v, None, frames, sizes, boxes,
+                    impl=tpu_impl, layout="planar", out_dtype=model.dtype,
+                )
+        spec_args = (
+            jax.ShapeDtypeStruct((tb, th, 3 * tw), jnp.uint8),  # planar frames
+            jax.ShapeDtypeStruct((tb, 2), jnp.int32),
+            jax.ShapeDtypeStruct((tb, 4), jnp.int32),
+        )
+        full_args = (
+            (sds(w_leaves), sds(q_leaves), *spec_args)
+            if quantized
+            else (sds(w_leaves), *spec_args)
+        )
+        kw = {"platforms": tpu_platforms} if tpu_platforms else {}
+        exp_frames_tpu.append(
+            jax_export.export(jax.jit(frames_tpu_fn), **kw)(*full_args)
+        )
+
     meta = {
-        "format_version": _FORMAT_VERSION,
+        "format_version": _FORMAT_VERSION if tpu_frames_specs else 3,
         "img_size": img_size,
         "stride": stride,
         "constants": constants,
@@ -215,6 +257,8 @@ def export_predictor(
         "quantized": quantized,
         "n_qparam_leaves": len(q_leaves) if quantized else 0,
         "resize_mode": resize_mode,
+        "tpu_frames_specs": [list(s) for s in tpu_frames_specs],
+        "tpu_interpret": bool(tpu_interpret),
     }
     arrays: Dict[str, np.ndarray] = {
         "stablehlo_pipeline": np.frombuffer(exp_pipe.serialize(), np.uint8),
@@ -222,6 +266,8 @@ def export_predictor(
         "stablehlo_frames": np.frombuffer(exp_frames.serialize(), np.uint8),
         "meta": np.frombuffer(json.dumps(meta).encode(), np.uint8),
     }
+    for i, e in enumerate(exp_frames_tpu):
+        arrays[f"stablehlo_frames_tpu{i}"] = np.frombuffer(e.serialize(), np.uint8)
     for i, x in enumerate(w_leaves):
         arrays[f"w{i:04d}"] = np.asarray(x)
     for i, x in enumerate(f_leaves):
@@ -261,6 +307,13 @@ class ExportedFaceMeshPredictor:
                 if "stablehlo_frames" in z
                 else None
             )
+            self._frames_tpu = [
+                (
+                    tuple(int(v) for v in spec),
+                    jax_export.deserialize(bytes(z[f"stablehlo_frames_tpu{i}"])),
+                )
+                for i, spec in enumerate(meta.get("tpu_frames_specs", []))
+            ]
             self._weights = [
                 jnp.asarray(z[f"w{i:04d}"]) for i in range(meta["n_weight_leaves"])
             ]
@@ -283,19 +336,18 @@ class ExportedFaceMeshPredictor:
         else:
             self._pipe_call = jax.jit(lambda w, x: self._pipe.call(w, x))
         self._dec_call = jax.jit(lambda f, mm: self._dec.call(f, mm))
-        if self._frames is not None:
+        def _wrap_frames(prog):
             if meta.get("quantized"):
-                fcall = jax.jit(
-                    lambda w, q, fr, sz, bx: self._frames.call(w, q, fr, sz, bx)
-                )
-                self._frames_call = lambda fr, sz, bx: fcall(
-                    self._weights, self._qparams, fr, sz, bx
-                )
-            else:
-                fcall = jax.jit(
-                    lambda w, fr, sz, bx: self._frames.call(w, fr, sz, bx)
-                )
-                self._frames_call = lambda fr, sz, bx: fcall(self._weights, fr, sz, bx)
+                fcall = jax.jit(lambda w, q, fr, sz, bx: prog.call(w, q, fr, sz, bx))
+                return lambda fr, sz, bx: fcall(self._weights, self._qparams, fr, sz, bx)
+            fcall = jax.jit(lambda w, fr, sz, bx: prog.call(w, fr, sz, bx))
+            return lambda fr, sz, bx: fcall(self._weights, fr, sz, bx)
+
+        if self._frames is not None:
+            self._frames_call = _wrap_frames(self._frames)
+        self._frames_tpu_calls = [
+            (spec, _wrap_frames(prog)) for spec, prog in self._frames_tpu
+        ]
 
     def __call__(self, image: np.ndarray) -> Dict[str, Any]:
         """RGB uint8 (H, W, 3) -> prediction dict in original-image coords."""
@@ -411,19 +463,50 @@ class ExportedFaceMeshPredictor:
         else:
             bb = [tuple(int(v) for v in b) for b in bboxes]
 
+        # TPU-specialized bucket programs (fused Pallas preprocess) are usable
+        # when the backend matches (or they were exported in interpret mode
+        # for CI) — per chunk, the first bucket the padded frames fit wins;
+        # anything else falls back to the portable symbolic-shape program
+        import jax as _jax
+
+        tpu_ok = self.meta.get("tpu_interpret") or _jax.default_backend() == "tpu"
+
+        def _pick_spec(chunk):
+            if not tpu_ok:
+                return None
+            hmax = max(f.shape[0] for f in chunk)
+            wmax = max(f.shape[1] for f in chunk)
+            for spec, call in self._frames_tpu_calls:
+                tb, th, tw = spec
+                if tb == batch_size and th >= hmax and tw >= wmax:
+                    return spec, call
+            return None
+
         results = []
         for lo in range(0, len(frames), batch_size):
             chunk = frames[lo : lo + batch_size]
             cb = bb[lo : lo + batch_size]
             count = len(chunk)
-            buf, sizes, boxes = pack_frames_host(
-                chunk, cb, batch_size, bucket=frame_bucket
-            )
-            lms, mm, scales, pads = self._frames_call(
-                jnp.asarray(buf[:count]),
-                jnp.asarray(sizes[:count]),
-                jnp.asarray(boxes[:count]),
-            )
+            picked = _pick_spec(chunk)
+            if picked is not None:
+                (tb, th, tw), call = picked
+                buf, sizes, boxes = pack_frames_host(
+                    chunk, cb, tb, planar=True, fixed_shape=(th, tw)
+                )
+                lms, mm, scales, pads = call(
+                    jnp.asarray(buf), jnp.asarray(sizes), jnp.asarray(boxes)
+                )
+                lms, mm = lms[:count], mm[:count]
+                scales, pads = scales[:count], pads[:count]
+            else:
+                buf, sizes, boxes = pack_frames_host(
+                    chunk, cb, batch_size, bucket=frame_bucket
+                )
+                lms, mm, scales, pads = self._frames_call(
+                    jnp.asarray(buf[:count]),
+                    jnp.asarray(sizes[:count]),
+                    jnp.asarray(boxes[:count]),
+                )
             lms = np.asarray(lms).reshape(count, -1, 2)
             mm, scales, pads = np.asarray(mm), np.asarray(scales), np.asarray(pads)
             pts, adj = [], []

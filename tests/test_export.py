@@ -182,6 +182,70 @@ def test_exported_predict_frames_matches_live(exported, rng):
         np.testing.assert_allclose(x["3d_vertices"], y["3d_vertices"], atol=1e-4)
 
 
+def test_tpu_bucket_frames_program_interpret(exported, rng, tmp_path, monkeypatch):
+    """v4 artifacts can carry TPU-specialized per-bucket frames programs
+    (fused Pallas preprocess, static shapes). Exported with
+    tpu_interpret=True they run on the CPU backend: chunks that fit a bucket
+    route through the bucket program (packed planar at the bucket's
+    fixed_shape), oversize chunks fall back to the portable symbolic-shape
+    program, and both agree with the live predictor."""
+    from dad3dheads_tpu.api.export import ExportedFaceMeshPredictor, export_predictor
+
+    predictor, _ = exported
+    path = str(tmp_path / "tpu_bucket.aot.npz")
+    export_predictor(
+        predictor.model, predictor.variables, predictor.flame, path,
+        img_size=128, stride=4, platforms=("cpu",),
+        tpu_frames_specs=[(4, 192, 256)], tpu_interpret=True,
+    )
+    ep = ExportedFaceMeshPredictor(path)
+    assert ep.meta["format_version"] == 4
+    assert ep.meta["tpu_frames_specs"] == [[4, 192, 256]]
+
+    import dad3dheads_tpu.ops.preprocess_device as pd
+
+    packed_kw = []
+    orig = pd.pack_frames_host
+
+    def spy(*a, **kw):
+        packed_kw.append(kw)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pd, "pack_frames_host", spy)
+
+    frames = [
+        (rng.uniform(size=(160, 140, 3)) * 255).astype(np.uint8),
+        (rng.uniform(size=(96, 200, 3)) * 255).astype(np.uint8),
+        (rng.uniform(size=(128, 128, 3)) * 255).astype(np.uint8),
+    ]
+    bb = [(10, 12, 120, 150), (0, 0, 200, 96), (4, 4, 124, 124)]
+    a = ep.predict_frames(frames, bboxes=bb, batch_size=4)
+    assert any(kw.get("fixed_shape") == (192, 256) for kw in packed_kw)
+    b = predictor.predict_frames(frames, bboxes=bb, batch_size=4)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x["points"], y["points"], atol=1)
+        np.testing.assert_allclose(x["3dmm_params"], y["3dmm_params"], atol=1e-4)
+        np.testing.assert_allclose(x["3d_vertices"], y["3d_vertices"], atol=1e-3)
+
+    # oversize frame -> portable fallback (no fixed_shape pack), still works
+    packed_kw.clear()
+    big = (rng.uniform(size=(260, 300, 3)) * 255).astype(np.uint8)
+    out = ep.predict_frames([big], batch_size=4)
+    assert not any("fixed_shape" in kw and kw["fixed_shape"] for kw in packed_kw)
+    assert out[0]["points"].shape == (68, 2)
+    assert np.isfinite(out[0]["3d_vertices"]).all()
+
+
+def test_plain_artifact_stays_v3(exported):
+    """Artifacts without TPU bucket programs stamp format_version 3 so v3
+    loaders keep reading them."""
+    _, path = exported
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["meta"]).decode())
+    assert meta["format_version"] == 3
+    assert meta["tpu_frames_specs"] == []
+
+
 def test_v2_artifact_without_frames_program_raises(exported, tmp_path):
     """Artifacts predating v3 load fine but predict_frames points at the
     re-export path instead of crashing on a missing archive key."""

@@ -44,6 +44,12 @@ def main() -> None:
         help="amax npz from tools/calibrate_int8.py: export the int8 pipeline "
              "(int8 kernels as artifact weights, folded fp leaves stripped)",
     )
+    ap.add_argument(
+        "--tpu-frames-spec", action="append", default=[], metavar="B,H,W",
+        help="additionally export a TPU-specialized frames program for this "
+             "static (batch, Hmax, Wmax) bucket — fused Pallas preprocess, "
+             "measured +5.8%% over the portable program on v5e; repeatable",
+    )
     args = ap.parse_args()
 
     from dad3dheads_tpu.utils import enable_compilation_cache
@@ -82,6 +88,9 @@ def main() -> None:
         platforms=tuple(args.platforms),
         quant_amax=quant_amax,
         resize_mode=args.resize_mode,
+        tpu_frames_specs=[
+            tuple(int(v) for v in s.split(",")) for s in args.tpu_frames_spec
+        ],
     )
     size_mb = os.path.getsize(path) / 1e6
     print(f"exported {path} ({size_mb:.1f} MB, platforms={args.platforms})")
