@@ -58,6 +58,10 @@ def build_loaders(config: Dict[str, Any]):
 
     batch_size = int(config.get("batch_size", 64))
     num_workers = int(config.get("num_workers", 8))
+    # "thread" (default: zero IPC, clamped to cpu_count) or "process"
+    # (persistent fork workers — the reference's num_workers semantics,
+    # flame_dataset.py usage; scales past the GIL on multi-core hosts)
+    worker_mode = str(config.get("worker_mode", "thread"))
     train_ds = FlameDataset.from_config(config["train"])
     val_ds = FlameDataset.from_config({**config["val"], "train_mode": False})
     frac = float(config.get("train_percent", 1.0))
@@ -67,8 +71,14 @@ def build_loaders(config: Dict[str, Any]):
     if vfrac < 1.0:
         val_ds.data = val_ds.data[: max(1, int(len(val_ds.data) * vfrac))]
     return (
-        DataLoader(train_ds, batch_size, shuffle=True, num_workers=num_workers),
-        DataLoader(val_ds, batch_size, shuffle=False, num_workers=num_workers),
+        DataLoader(
+            train_ds, batch_size, shuffle=True, num_workers=num_workers,
+            worker_mode=worker_mode,
+        ),
+        DataLoader(
+            val_ds, batch_size, shuffle=False, num_workers=num_workers,
+            worker_mode=worker_mode,
+        ),
     )
 
 

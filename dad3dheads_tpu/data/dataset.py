@@ -322,7 +322,7 @@ class DataLoader:
       count is clamped to the CPU count: the GIL serializes the numpy-light
       sections, so surplus threads only add contention (measured on a 1-core
       host: 8 threads 300 img/s vs 1 thread 438 img/s — the r04 anomaly).
-    - ``"process"``: PERSISTENT forked workers (not the per-epoch spawn pool
+    - ``"process"``: PERSISTENT worker processes (not the per-epoch pool
       measured and rejected in r03 — that paid re-import + per-item pickle).
       Batches are statically assigned round-robin, each worker collates its
       batch and ships ONE pickled numpy dict per batch through a pipe;
@@ -330,6 +330,12 @@ class DataLoader:
       therefore every sample's (seed, idx) jitter stream) is identical to
       thread mode. True multi-core scaling for the decode+projection work;
       per-batch IPC is a memcpy-rate unpickle on the consumer side.
+      ``mp_context`` defaults to "spawn": forking a JAX parent deadlocks —
+      measured with the TPU client attached (worker inherits locked mutexes
+      from the runtime's threads and hangs in its first batch; Trainer.fit
+      froze until killed). Spawn pays a one-time ~2-4 s re-import per worker,
+      amortized by persistence; "fork" stays available for numpy-only
+      parents.
 
     Multi-host: pass ``process_index``/``process_count`` (defaults: JAX's) and
     the SAME ``seed`` on every host. Each epoch every process draws the same
@@ -354,7 +360,7 @@ class DataLoader:
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
         worker_mode: str = "thread",
-        mp_context: str = "fork",
+        mp_context: str = "spawn",
     ):
         if worker_mode not in ("thread", "process"):
             raise ValueError(f"worker_mode must be 'thread' or 'process', got {worker_mode!r}")

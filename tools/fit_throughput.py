@@ -50,6 +50,7 @@ def main() -> None:
     )
     ap.add_argument("--subset", default="train")
     ap.add_argument("--num-workers", type=int, default=8)
+    ap.add_argument("--worker-mode", default="thread", choices=["thread", "process"])
     ap.add_argument(
         "--host-heatmap",
         action="store_true",
@@ -104,7 +105,8 @@ def main() -> None:
                 }
             )
             loader = DataLoader(
-                ds, args.batch, shuffle=True, num_workers=args.num_workers
+                ds, args.batch, shuffle=True, num_workers=args.num_workers,
+                worker_mode=args.worker_mode,
             )
             args.steps = len(loader)
         else:

@@ -58,16 +58,21 @@ def main() -> None:
 
     from dad3dheads_tpu.data.dataset import DataLoader, FlameDataset
 
-    ds = FlameDataset(
-        args.dataset,
-        subset=args.subset,
-        img_size=args.img,
-        output_uint8=True,
-        device_heatmap=True,
+    base = os.path.join(args.dataset, "DAD-3DHeadsDataset", args.subset)
+    ds = FlameDataset.from_config(
+        {
+            "ann_path": os.path.join(base, f"{args.subset}.json"),
+            "dataset_root": base,
+            "img_size": args.img,
+            "output_uint8": True,
+            "device_heatmap": True,
+        }
     )
-    # warm the sidecar mesh cache once so every config measures the same
-    # steady state (first pass pays the json->npz conversion)
-    _ = [ds[i] for i in range(min(len(ds), args.batch))]
+    # warm the sidecar mesh cache for EVERY item any config will touch, so
+    # the first config doesn't eat the one-time json->npy conversions
+    # (~14 ms/item) that later configs then skip
+    for i in range(len(ds)):
+        _ = ds[i]
 
     configs = [
         ("thread", 1),
@@ -91,7 +96,9 @@ def main() -> None:
         if len(ds) < need:
             raise SystemExit(f"dataset too small: {len(ds)} < {need}")
         ips = measure(loader, args.batches)
-        key = f"{mode}_{n_w}w"
+        # thread mode clamps workers to cpu_count (GIL contention); report
+        # what actually ran so a 1-core "8 threads" row can't mislead
+        key = f"{mode}_{n_w}w_eff{loader.num_workers}"
         results[key] = round(ips, 1)
         print(f"{key}: {ips:.1f} img/s", file=sys.stderr, flush=True)
 
