@@ -29,7 +29,9 @@ def sh(*cmd: str) -> None:
     subprocess.run(cmd, check=True)
 
 
-def evaluate_checkpoint(work, img, ckpt_path, gt_path, tag, device_preprocess=False):
+def evaluate_checkpoint(
+    work, img, ckpt_path, gt_path, tag, device_preprocess=False, quant_amax=None
+):
     import numpy as np
 
     from dad3dheads_tpu.api.predictor import FaceMeshPredictor
@@ -40,14 +42,14 @@ def evaluate_checkpoint(work, img, ckpt_path, gt_path, tag, device_preprocess=Fa
     from dad3dheads_tpu.core.landmarks import LandmarkEmbedding
     from dad3dheads_tpu.data.dataset import read_as_rgb
 
-    predictor = FaceMeshPredictor(
-        {
-            "img_size": img,
-            "stride": 4,
-            "model": {"backbone": "resnet50", "num_classes": 68, "num_filters": 256, "limit_value": 3},
-        },
-        checkpoint_path=ckpt_path,
-    )
+    config = {
+        "img_size": img,
+        "stride": 4,
+        "model": {"backbone": "resnet50", "num_classes": 68, "num_filters": 256, "limit_value": 3},
+    }
+    if quant_amax is not None:
+        config["quant_amax"] = quant_amax
+    predictor = FaceMeshPredictor(config, checkpoint_path=ckpt_path)
     emb = LandmarkEmbedding.load()
     base = os.path.join(work, "DAD-3DHeadsDataset", "val")
     with open(os.path.join(base, "val.json")) as f:
