@@ -69,7 +69,11 @@ def test_validate_tool_passes_on_valid_assets(flame_pkl, trcd, tmp_path):
         ],
         capture_output=True,
         text=True,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        # JAX_PLATFORMS alone is ignored (the axon TPU plugin prepends
+            # itself); DAD3D_PLATFORM forces CPU via jax.config in the
+            # package __init__ — without it this subprocess attaches to
+            # the tunneled TPU and can stall minutes in client handoff
+            env={**os.environ, "JAX_PLATFORMS": "cpu", "DAD3D_PLATFORM": "cpu"},
         timeout=1200,
     )
     sys.stdout.write(proc.stdout[-2000:])
@@ -93,7 +97,11 @@ def test_validate_tool_fails_loudly_on_bad_asset(tmp_path):
         ],
         capture_output=True,
         text=True,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        # JAX_PLATFORMS alone is ignored (the axon TPU plugin prepends
+            # itself); DAD3D_PLATFORM forces CPU via jax.config in the
+            # package __init__ — without it this subprocess attaches to
+            # the tunneled TPU and can stall minutes in client handoff
+            env={**os.environ, "JAX_PLATFORMS": "cpu", "DAD3D_PLATFORM": "cpu"},
         timeout=600,
     )
     assert proc.returncode == 1
