@@ -252,6 +252,62 @@ def main() -> None:
         extra["preproc_e2e_ips"] = mp["ips"]
         extra["preproc_spread"] = mp["spread"]
 
+    if (
+        os.environ.get("BENCH_INT8_PREPROC", "1") != "0"
+        and mode == "full"
+        and "int8_inference_ips" in extra
+        and "preproc_e2e_ips" in extra
+    ):
+        # the DEPLOYMENT path: raw 512^2 frames -> fused device preprocess ->
+        # int8 CNN -> FLAME decode — what a TPU server actually runs when
+        # both opt-ins are on (quant_amax + predict_frames)
+        from dad3dheads_tpu.ops.preprocess_device import preprocess_frames_device
+
+        FRAME_Q = 512
+
+        @jax.jit
+        def run_qp(variables, qparams, amax, flame, embedding, seed, n_iters):
+            k1, k2 = jax.random.split(seed)
+            frames = jax.random.randint(
+                k1, (BATCH, FRAME_Q, 3 * FRAME_Q), 0, 256, jnp.uint8
+            )
+            sizes = jnp.tile(jnp.asarray([[FRAME_Q, FRAME_Q]], jnp.int32), (BATCH, 1))
+            off = jax.random.randint(k2, (BATCH, 2), 0, 128, jnp.int32)
+            boxes = jnp.concatenate([off, off + 320], axis=-1)
+
+            def body(i, carry):
+                bx, acc = carry
+                imgs, _, _ = preprocess_frames_device(
+                    frames, sizes, bx, 256, layout="planar", out_dtype=in_dtype
+                )
+                out, _ = quantized_forward(
+                    model, variables, imgs.astype(in_dtype), amax=amax,
+                    mode="int8", dtype=in_dtype, qparams=qparams,
+                )
+                mm = out[OUTPUT_3DMM_PARAMS].astype(jnp.float32)
+                params = FlameParams.from_3dmm(mm)
+                v0 = flame_decode(flame, params, zero_rot=True)
+                v = rotate_vertices(rot_mat_from_6dof(params.rotation), v0)
+                lms = get_68_landmarks(v, embedding)
+                chk = jnp.mean(lms) + 1e-20 * jnp.sum(v[:, 0])
+                bx = bx.at[0, 0].add((chk * 1e-30).astype(bx.dtype))
+                return bx, acc + chk
+
+            _, acc = jax.lax.fori_loop(0, n_iters, body, (boxes, jnp.zeros(())))
+            return acc
+
+        _progress("int8+preproc: compiling")
+        float(run_qp(variables, qparams, amax, flame, embedding, jax.random.PRNGKey(1), 1))
+        _progress("int8+preproc: measuring")
+        mqp = _measure(
+            lambda s, n: float(
+                run_qp(variables, qparams, amax, flame, embedding, jax.random.PRNGKey(s), n)
+            ),
+            BATCH,
+        )
+        extra["int8_preproc_e2e_ips"] = mqp["ips"]
+        extra["int8_preproc_spread"] = mqp["spread"]
+
     if os.environ.get("BENCH_MOBILENET", "1") != "0" and mode == "full":
         # the second supported encoder (reference encoder_mapping,
         # model_training/model/encoders.py:51-54) — first-class bench entry
