@@ -476,7 +476,7 @@ class DataLoader:
             stop.set()
 
     def _iter_processes(self, batches) -> Iterator[Dict[str, Any]]:
-        """Persistent fork-worker pipeline: worker w owns batches[w::W] (in
+        """Persistent worker-process pipeline: worker w owns batches[w::W] (in
         order), so the parent reading worker (i % W) for batch i preserves
         the exact thread-mode batch order. A per-worker semaphore bounds
         in-flight finished batches to ``prefetch`` (backpressure across the

@@ -191,7 +191,7 @@ class _ExplodingArithDS(_ArithDS):
 
 
 def test_process_loader_matches_thread_loader():
-    """worker_mode='process' (persistent fork workers, batch-level IPC) must
+    """worker_mode='process' (persistent spawn-context workers, batch-level IPC) must
     yield byte-identical batches in the same order as thread mode — the
     assignment is round-robin by batch ordinal and each worker walks its
     slice in order."""
