@@ -82,11 +82,19 @@ def main() -> None:
     int8 = evaluate_checkpoint(
         args.work, args.img, ckpt, gt_path, "int8", quant_amax=amax_path
     )
+    # the DEPLOYMENT path: int8 CNN + fused device preprocess (predict_frames)
+    int8_dev = evaluate_checkpoint(
+        args.work, args.img, ckpt, gt_path, "int8_device",
+        device_preprocess=True, quant_amax=amax_path,
+    )
     print(
         json.dumps(
             {
                 "host": host and {k: round(v, 3) for k, v in host.items()},
                 "int8": {k: round(v, 3) for k, v in int8.items()},
+                "int8_device_preprocess": {
+                    k: round(v, 3) for k, v in int8_dev.items()
+                },
             }
         )
     )
