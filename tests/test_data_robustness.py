@@ -226,3 +226,21 @@ def test_process_loader_shuffle_reproducible():
     )
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x["i"], y["i"])
+
+
+def test_thread_workers_clamp_to_cpu_count():
+    """Thread mode clamps surplus GIL-bound workers to the CPU count (the
+    r04 anomaly: 8 threads measured SLOWER than 1 on a 1-core host); process
+    mode does NOT clamp — worker processes scale past the GIL."""
+    import os as _os
+
+    cpus = _os.cpu_count() or 1
+    t = DataLoader(_ArithDS(), batch_size=3, num_workers=cpus + 7, worker_mode="thread")
+    assert t.num_workers == cpus
+    p = DataLoader(_ArithDS(), batch_size=3, num_workers=cpus + 7, worker_mode="process")
+    assert p.num_workers == cpus + 7
+
+
+def test_invalid_worker_mode_rejected():
+    with pytest.raises(ValueError, match="worker_mode"):
+        DataLoader(_ArithDS(), batch_size=3, worker_mode="greenlet")
