@@ -255,8 +255,7 @@ def main() -> None:
     if (
         os.environ.get("BENCH_INT8_PREPROC", "1") != "0"
         and mode == "full"
-        and "int8_inference_ips" in extra
-        and "preproc_e2e_ips" in extra
+        and "int8_inference_ips" in extra  # needs that block's amax/qparams
     ):
         # the DEPLOYMENT path: raw 512^2 frames -> fused device preprocess ->
         # int8 CNN -> FLAME decode — what a TPU server actually runs when

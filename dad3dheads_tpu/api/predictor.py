@@ -174,7 +174,7 @@ class FaceMeshPredictor:
             self.flame = replicate(self.flame, mesh)
         # opt-in int8 PTQ inference (models/quantized.py): an amax dict / npz
         # from tools/calibrate_int8.py switches the device pipeline to the
-        # quantized forward (measured 1.53x on chip; no reference counterpart)
+        # quantized forward (measured ~1.5x on chip; no reference counterpart)
         self.quant_amax = self.config.get("quant_amax")
         if self.quant_amax is not None and self.model.backbone != "resnet50":
             # surface the coverage limit at config-load time, not deep in the

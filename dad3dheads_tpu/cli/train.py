@@ -59,8 +59,9 @@ def build_loaders(config: Dict[str, Any]):
     batch_size = int(config.get("batch_size", 64))
     num_workers = int(config.get("num_workers", 8))
     # "thread" (default: zero IPC, clamped to cpu_count) or "process"
-    # (persistent fork workers — the reference's num_workers semantics,
-    # flame_dataset.py usage; scales past the GIL on multi-core hosts)
+    # (persistent spawn-context workers — the reference's num_workers
+    # semantics, flame_dataset.py usage; scales past the GIL on multi-core
+    # hosts; spawn because fork-under-JAX deadlocks, see data/dataset.py)
     worker_mode = str(config.get("worker_mode", "thread"))
     train_ds = FlameDataset.from_config(config["train"])
     val_ds = FlameDataset.from_config({**config["val"], "train_mode": False})

@@ -66,8 +66,11 @@ def main() -> None:
         glob.glob(os.path.join(base_v, "images", "*.png"))
     )[: args.calib_num]
     assert paths, f"no calibration images under {base_v}"
+    # calibrate at the SAME dtype evaluate_checkpoint serves (fp32 default —
+    # its model config omits dtype), so the amax table certifies the exact
+    # pipeline the int8 rows score
     predictor = FaceMeshPredictor(
-        {"img_size": args.img, "model": {"backbone": "resnet50", "dtype": "bf16"}},
+        {"img_size": args.img, "model": {"backbone": "resnet50"}},
         checkpoint_path=ckpt,
     )
     tensors = [preprocess_image_np(read_as_rgb(p), args.img)[0] for p in paths]
@@ -75,7 +78,7 @@ def main() -> None:
         jnp.asarray(np.stack(tensors[i : i + 16])) for i in range(0, len(tensors), 16)
     ]
     amax = calibrate(
-        predictor.model, predictor.variables, batches, dtype=jnp.bfloat16
+        predictor.model, predictor.variables, batches, dtype=jnp.float32
     )
     save_amax(amax, amax_path)
     print(f"calibrated {len(amax)} sites -> {amax_path}", flush=True)

@@ -3,7 +3,7 @@
 Runs a few batches through the fp model recording per-site max |activation|
 (models/quantized.py), and saves the amax table as an .npz that
 ``FaceMeshPredictor`` accepts via ``quant_amax`` (config key or constructor
-dict) to switch inference to the int8 path (measured 1.53x on a v5e chip).
+dict) to switch inference to the int8 path (measured ~1.5x on a v5e chip).
 
   python tools/calibrate_int8.py --checkpoint ck.msgpack --out amax.npz \
       --images /path/to/DAD-3DHeadsDataset/val [--num 64] [--img-size 256]

@@ -12,7 +12,10 @@ The README's roofline paragraphs are generated from this tool's output so
 they can be re-derived after any kernel/lowering change (the r5 upsample
 relowering cut ~800 MB/iter of HBM intermediates and moved every number).
 
-  python tools/roofline.py [--mode e2e|train|both] [--iters 6] [--out FILE]
+  python tools/roofline.py [--mode e2e|int8|train|both|all] [--iters 32] [--out FILE]
+
+Default mode is "all" (e2e + int8 + train) — the set ROOFLINE_r05.json and
+the README paragraphs carry.
 
 Reference for the numbers' role: README "Roofline position"; BASELINE.json
 north star (5,000 img/s/chip e2e).
@@ -44,14 +47,19 @@ def _cost(compiled):
 
 
 def _time_ips(run, batch, iters, reps=3):
-    """bench.py methodology: one jit containing a fori_loop of the step, so
-    wall/n is device time (dispatch amortized); min over reps."""
+    """bench.py methodology: one jit containing a fori_loop of the step, and
+    a 1-iteration baseline subtracted from every N-iteration run so constant
+    dispatch + result-fetch overhead (multi-ms through the TPU tunnel) does
+    not inflate the per-iteration time; min over reps."""
     run(1)  # warm/compile
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
+        run(1)
+        t1 = time.perf_counter()
         run(iters)
-        dt = (time.perf_counter() - t0) / iters
+        t2 = time.perf_counter()
+        dt = ((t2 - t1) - (t1 - t0)) / (iters - 1)
         best = min(best, dt)
     return batch / best, best
 
@@ -223,7 +231,7 @@ def analyze(name, cost, run, batch, iters):
     gbps = cost["bytes"] / sec_per_iter / 1e9
     tflops = cost["flops"] / sec_per_iter / 1e12
     ai = cost["flops"] / max(cost["bytes"], 1.0)
-    sol_ips = V5E_PEAK_HBM_GBPS * 1e9 / cost["bytes"] * batch
+    sol_ips = V5E_PEAK_HBM_GBPS * 1e9 / max(cost["bytes"], 1.0) * batch
     return {
         "path": name,
         "batch": batch,
@@ -244,9 +252,9 @@ def analyze(name, cost, run, batch, iters):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--mode", default="both", choices=["e2e", "int8", "train", "both", "all"]
+        "--mode", default="all", choices=["e2e", "int8", "train", "both", "all"]
     )
-    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--iters", type=int, default=32)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
